@@ -1,0 +1,92 @@
+"""TX block generator factory.
+
+TPU-native equivalent of the reference ``TX_buffer_generator``
+(cpp/USRP_buffer_generator.cpp): TONES builds a multi-tone comb (the
+reference precomputes a rate-length wavetable via inverse cuFFT and rotates a
+pointer, cpp/kernels.cu:589-684; here each block is one (U,C)x(C,S) MXU
+matmul with identical samples — see ops/tonegen.py), CHIRP generates the
+integer-phase sweep per block (reference chirp_gen, cpp/kernels.cu:335-372).
+
+NOISE and RAMP TX are not implemented, matching the reference
+(cpp/USRP_buffer_generator.cpp:40-58).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import AntennaParams, WaveType, chirp_steps_and_length
+from ..ops import chirp as chirp_ops
+from ..ops import cplx
+from ..ops import tonegen as tone_ops
+from .planner import BlockPlan, plan_blocks
+
+
+@dataclasses.dataclass
+class Generator:
+    """A compiled streaming TX generator for one antenna."""
+
+    block_len: int
+    init_state: Callable[[], Any]
+    step: Callable[[Any], Tuple[Any, jax.Array]]
+    wave_type: WaveType
+
+    def blocks(self, n_blocks: int):
+        """Yield n_blocks numpy complex blocks (testing / offline use)."""
+        state = self.init_state()
+        for _ in range(n_blocks):
+            state, x = self.step(state)
+            yield cplx.to_np(x)
+
+
+def make_generator(p: AntennaParams, block_len: int | None = None) -> Generator:
+    """Build the TX generator for one antenna (the reference ctor dispatch,
+    cpp/USRP_buffer_generator.cpp:39-159)."""
+    w = p.wave_type[0] if p.wave_type else WaveType.NODSP
+    L = int(block_len) if block_len else (p.buffer_len or 1_000_000)
+
+    if w == WaveType.TONES:
+        cfg = tone_ops.ToneCombConfig(
+            rate=int(p.rate),
+            freqs=tuple(int(f) for f in p.freq),
+            ampls=tuple(float(a) for a in (p.ampl or [1.0] * len(p.freq))),
+            block_len=L)
+        P, Q = cfg.factors()
+        step_v = cfg.phase_step()
+        W = int(p.rate)
+
+        def init_state():
+            return cfg.phase_init()
+
+        @jax.jit
+        def step(phase):
+            return tone_ops.tone_comb_block(P, Q, step_v, W, phase)
+
+        return Generator(block_len=L, init_state=init_state, step=step,
+                         wave_type=w)
+
+    if w == WaveType.CHIRP:
+        steps, _length = chirp_steps_and_length(p)
+        cfg = chirp_ops.ChirpConfig.from_params(
+            p.freq[0], p.chirp_f[0], int(p.rate), steps, p.chirp_t[0])
+        scale = float(p.ampl[0]) if p.ampl else 1.0
+
+        def init_state():
+            return jnp.uint32(0)
+
+        @jax.jit
+        def step(last):
+            return chirp_ops.chirp_block(cfg, last, L, scale=scale)
+
+        return Generator(block_len=L, init_state=init_state, step=step,
+                         wave_type=w)
+
+    raise NotImplementedError(
+        f"TX generation for {w} is not implemented "
+        "(NOISE/RAMP/DIRECT TX match the reference's unimplemented cases, "
+        "cpp/USRP_buffer_generator.cpp:40-58)")

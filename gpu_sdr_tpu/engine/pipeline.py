@@ -1,0 +1,85 @@
+"""The streaming pipeline host loop.
+
+Replaces the reference's thread graph (TXRX::start spawning UHD-RX ->
+RX-worker -> TCP-streamer -> H5-writer threads with lock-free queues,
+cpp/USRP_server_link_threads.cpp:238-431) with a single host loop over
+jitted steps.  Pipelining comes from JAX's async dispatch: we keep a queue
+of in-flight device results and only materialize block i's output after
+dispatching block i+depth, so host<->device transfers and TPU compute
+overlap — the functional equivalent of the reference's pinned-buffer double
+buffering (preallocator, headers/USRP_server_memory_management.hpp:103-273).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops import cplx
+from .demodulator import Demodulator
+from .sinks import PacketMeta, Sink, MemorySink
+from .sources import Source
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    n_blocks: int
+    rows: int
+    channels: int
+    elapsed_s: float
+    samples_in: int
+
+    @property
+    def msps(self) -> float:
+        """Raw input complex Msamples/s sustained."""
+        return self.samples_in / self.elapsed_s / 1e6
+
+
+def run_pipeline(demod: Demodulator, source: Source,
+                 sinks: Sequence[Sink] = (), n_blocks: Optional[int] = None,
+                 usrp_number: int = 0, front_end: str = "A",
+                 depth: int = 2) -> PipelineResult:
+    """Stream `n_blocks` blocks from source through the demodulator into
+    the sinks.  Returns throughput accounting."""
+    plan = demod.plan
+    nb = n_blocks if n_blocks is not None else plan.n_blocks
+    for s in sinks:
+        s.on_start(demod.n_channels, plan.total_out_rows)
+
+    state = demod.init_state()
+    inflight = collections.deque()
+    rows = 0
+    pkt = 0
+    t0 = time.perf_counter()
+
+    def drain_one():
+        nonlocal rows, pkt
+        y = inflight.popleft()
+        data = cplx.to_np(y)
+        meta = PacketMeta(
+            usrp_number=usrp_number, front_end_code=front_end,
+            packet_number=pkt, length=int(data.size),
+            errors=0, channels=int(data.shape[1]))
+        for s in sinks:
+            s.on_packet(meta, data)
+        rows += data.shape[0]
+        pkt += 1
+
+    for blk in source.blocks(plan.block_len, nb):
+        state, y = demod.step(state, cplx.from_np(blk))
+        inflight.append(y)
+        if len(inflight) > depth:
+            drain_one()
+    while inflight:
+        drain_one()
+
+    elapsed = time.perf_counter() - t0
+    for s in sinks:
+        s.on_end()
+    return PipelineResult(n_blocks=nb, rows=rows, channels=demod.n_channels,
+                          elapsed_s=elapsed,
+                          samples_in=nb * plan.block_len)

@@ -1,0 +1,217 @@
+"""Parity tests: PFB channelizer, chirp generator/demodulator, tone comb and
+lock-in decimator vs their golden models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu import golden
+from gpu_sdr_tpu.ops import cplx
+from gpu_sdr_tpu.ops.chirp import ChirpConfig, chirp_block, chirp_demod_block
+from gpu_sdr_tpu.ops.lockin import lockin_decimate, lockin_profile
+from gpu_sdr_tpu.ops.pfb import (
+    PFBConfig, average_frames, pfb_frames, pfb_spare_init, select_tones,
+    tone_bins)
+from gpu_sdr_tpu.ops.tonegen import ToneCombConfig, tone_comb_block
+
+RNG = np.random.default_rng(99)
+
+
+def crandn(*shape):
+    return (RNG.standard_normal(shape) +
+            1j * RNG.standard_normal(shape)).astype(np.complex64)
+
+
+# ----------------------------------------------------------------------
+# PFB
+# ----------------------------------------------------------------------
+
+def test_pfb_matches_golden_stream():
+    nfft, avg, rate = 64, 4, 64_000
+    L = 8 * nfft * 10
+    cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate)
+    window = cfg.window()
+    dft = cfg.dft()
+    blocks = [crandn(L) for _ in range(3)]
+    x_all = np.concatenate(blocks)
+    ref = golden.pfb_frames(x_all, nfft, avg)
+    spare = pfb_spare_init(cfg)
+    fn = jax.jit(lambda s, x: pfb_frames(cfg, window, dft, s, x))
+    outs = []
+    for b in blocks:
+        spare, fr = fn(spare, cplx.from_np(b))
+        outs.append(cplx.to_np(fr))
+    out = np.concatenate(outs, axis=0)
+    # zero-primed spare => first avg-1 frames are transient; our frame t
+    # corresponds to golden frame t-(avg-1).
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
+
+
+def test_tone_bins_reference_mapping():
+    rate, nfft = 1_000_000, 100
+    freqs = [0, 10_000, -10_000, 250_000, -499_999]
+    bins = tone_bins(freqs, rate, nfft)
+    ref = golden.tone_bins(freqs, rate, nfft)
+    assert np.array_equal(bins, ref)
+    # physics: tone at k*rate/nfft lands in bin k
+    assert bins[0] == 0
+    assert bins[1] == 1
+    assert bins[2] == nfft - 1
+
+
+def test_select_and_average_frames():
+    frames = crandn(12, 16)
+    fc = cplx.from_np(frames)
+    bins = jnp.asarray([3, 7, 15], dtype=jnp.int32)
+    sel = cplx.to_np(select_tones(fc, bins))
+    assert np.allclose(sel, frames[:, [3, 7, 15]], atol=1e-6)
+    avg = cplx.to_np(average_frames(fc, 3))
+    ref = golden.decimate_spectra(frames, 3)
+    assert np.allclose(avg, ref, atol=1e-5)
+
+
+def test_pfb_tone_isolation():
+    """A tone centered on bin k must appear only in channel k (steady state)."""
+    nfft, avg, rate = 32, 4, 32_000
+    k = 5
+    f = k * rate // nfft
+    n = np.arange(nfft * 64, dtype=np.int64)
+    x = np.exp(2j * np.pi * f * n / rate).astype(np.complex64)
+    cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate)
+    spare = pfb_spare_init(cfg)
+    _, fr = pfb_frames(cfg, cfg.window(), cfg.dft(), spare, cplx.from_np(x))
+    fr = cplx.to_np(fr)[avg:]  # skip transient
+    power = np.mean(np.abs(fr) ** 2, axis=0)
+    assert power[k] > 1e3 * power[(k + 7) % nfft]
+
+
+# ----------------------------------------------------------------------
+# DFT (cuFFT replacement)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [16, 100, 1000, 4095])
+def test_dft_matches_numpy(n):
+    x = crandn(5, n)
+    out = cplx.to_np(cplx.DFT(n)(cplx.from_np(x)))
+    ref = np.fft.fft(x, axis=-1)
+    assert golden.snr_db(ref, out) > 85.0
+
+
+@pytest.mark.parametrize("n", [8192, 5000])
+def test_dft_two_stage_matches_numpy(n):
+    d = cplx.DFT(n)
+    assert d.split is not None
+    x = crandn(2, n)
+    out = cplx.to_np(d(cplx.from_np(x)))
+    ref = np.fft.fft(x, axis=-1)
+    assert golden.snr_db(ref, out) > 80.0
+
+
+def test_dft_inverse():
+    n = 256
+    x = crandn(3, n)
+    fwd = cplx.DFT(n)
+    inv = cplx.DFT(n, inverse=True)
+    rt = cplx.to_np(inv(fwd(cplx.from_np(x)))) / n
+    assert golden.snr_db(x, rt) > 85.0
+
+
+# ----------------------------------------------------------------------
+# Chirp
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("steps,chirp_t", [(100, 0.01), (1000, 0.1)])
+def test_chirp_gen_matches_golden(steps, chirp_t):
+    rate = 1_000_000
+    cp = golden.ChirpParameter(-400_000, 400_000, rate, steps, chirp_t)
+    cfg = ChirpConfig.from_params(-400_000, 400_000, rate, steps, chirp_t)
+    assert cfg.num_steps == cp.num_steps
+    assert cfg.length == cp.length
+    assert cfg.chirpness == int(cp.chirpness)
+    assert cfg.f0 == int(cp.f0)
+    L = 30_000
+    last = jnp.uint32(0)
+    outs = []
+    for _ in range(3):
+        last, x = chirp_block(cfg, last, L)
+        outs.append(cplx.to_np(x))
+    out = np.concatenate(outs)
+    ref = golden.chirp_signal(cp, 0, 3 * L)
+    snr = golden.snr_db(ref, out)
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
+
+
+def test_chirp_demod_recovers_flat_response():
+    """Demodulating the chirp against itself gives z = 1 (the lock-in DC
+    condition): conj(c)*c = |c|^2 = 1."""
+    rate = 1_000_000
+    steps, chirp_t = 50, 0.05
+    cfg = ChirpConfig.from_params(-100_000, 100_000, rate, steps, chirp_t)
+    L = cfg.period
+    _, tx = chirp_block(cfg, jnp.uint32(0), L)
+    _, z = chirp_demod_block(cfg, jnp.uint32(0), tx)
+    zn = cplx.to_np(z)
+    assert np.allclose(zn.real, 1.0, atol=1e-5)
+    assert np.allclose(zn.imag, 0.0, atol=1e-5)
+
+
+def test_chirp_block_continuity():
+    """Blockwise generation must equal one-shot generation (phase carry)."""
+    rate = 1_000_000
+    cfg = ChirpConfig.from_params(0, 250_000, rate, 200, 0.02)
+    total = 50_000
+    _, whole = chirp_block(cfg, jnp.uint32(0), total)
+    parts = []
+    last = jnp.uint32(0)
+    for _ in range(4):
+        last, x = chirp_block(cfg, last, 12_500)
+        parts.append(cplx.to_np(x))
+    assert np.allclose(np.concatenate(parts), cplx.to_np(whole), atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Tone comb + lock-in
+# ----------------------------------------------------------------------
+
+def test_tone_comb_matches_golden():
+    rate = 100_000
+    freqs = (1000, -2500, 49_999)
+    ampls = (0.3, 0.5, 0.2)
+    L = 10_000
+    cfg = ToneCombConfig(rate=rate, freqs=freqs, ampls=ampls, block_len=L)
+    P, Q = cfg.factors()
+    step = cfg.phase_step()
+    phase = cfg.phase_init()
+    fn = jax.jit(lambda p: tone_comb_block(P, Q, step, rate, p))
+    outs = []
+    for _ in range(3):
+        phase, x = fn(phase)
+        outs.append(cplx.to_np(x))
+    out = np.concatenate(outs)
+    ref = golden.tone_block(freqs, ampls, rate, 0, 3 * L)
+    snr = golden.snr_db(ref, out)
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
+
+
+def test_tone_comb_matches_wavetable():
+    from gpu_sdr_tpu.ops.tonegen import tone_comb_wavetable
+    rate = 4096
+    freqs, ampls = (100, -300), (1.0, 0.25)
+    wt = tone_comb_wavetable(freqs, ampls, rate)
+    ref = golden.tone_block(freqs, ampls, rate, 0, rate)
+    assert golden.snr_db(ref, wt) > 100.0
+
+
+def test_lockin_matches_golden():
+    ppt = 500
+    nseg = 7
+    z = crandn(nseg * ppt)
+    gold = golden.GoldenVNADecimator(ppt)
+    ref = gold(z)
+    prof = jnp.asarray(lockin_profile(ppt))
+    out = cplx.to_np(lockin_decimate(prof, cplx.from_np(z)))
+    assert golden.snr_db(ref, out) > 90.0
