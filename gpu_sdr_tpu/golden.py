@@ -244,11 +244,15 @@ class ChirpParameter:
         self.length = int(length)
         two32m1 = float(2 ** 32 - 1)
         if num_steps > 1:
-            self.chirpness = np.uint32(
-                int(two32m1 * (f_end - f_start) / ((num_steps - 1.0) * rate)))
+            # C assigns the (possibly negative) double to 'unsigned int':
+            # truncate toward zero, then wrap mod 2^32 (x86 behaviour the
+            # reference relies on for down-chirps)
+            raw = int(two32m1 * (f_end - f_start) / ((num_steps - 1.0) * rate))
+            self.chirpness = np.uint32(raw % (2 ** 32))
         else:
             self.chirpness = np.uint32(0)
-        self.f0 = np.int32(int(two32m1 * (float(f_start) / float(rate))))
+        raw_f0 = int(two32m1 * (float(f_start) / float(rate))) % (2 ** 32)
+        self.f0 = np.int32(raw_f0 - 2 ** 32 if raw_f0 >= 2 ** 31 else raw_f0)
 
     def period(self) -> int:
         return self.num_steps * self.length

@@ -1,0 +1,129 @@
+"""In-process measurement execution.
+
+The functional core of a measurement: given a validated
+:class:`~gpu_sdr_tpu.params.UsrpParams`, build TX generators and RX
+demodulators, route TX->channel->RX (the reference's --sw_loop path, or a
+physical channel model / replay file), and stream into an HDF5 file with the
+reference layout.
+
+This is the in-process equivalent of the reference's full round trip
+(client Async_send -> server main loop -> TXRX set/start -> demod -> TCP ->
+client Packets_to_file); the TCP server in gpu_sdr_tpu.server exposes the
+same execution over the wire protocol for remote clients.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .engine import make_demodulator, make_generator, run_pipeline
+from .engine.channel import Channel, IdealChannel
+from .engine.pipeline import PipelineResult
+from .engine.sinks import Sink
+from .engine.sources import LoopbackSource, Source, WhiteNoiseSource
+from .params import AntennaParams, AntMode, UsrpParams, WaveType
+
+
+class ChannelSource(Source):
+    """TX generator -> channel model -> RX blocks.
+
+    `skip_samples` emulates the reference's timed RX start: the RX stream
+    begins `delay` seconds after TX (the `delay` parameter applied to the
+    UHD stream command, cpp/USRP_hardware_manager.cpp:1178-1291), which is
+    how line-delay compensation re-aligns the chirp lock-in.
+    """
+
+    def __init__(self, generator, channel: Channel, skip_samples: int = 0):
+        self.generator = generator
+        self.channel = channel
+        self.skip = int(skip_samples)
+
+    def blocks(self, block_len: int, n_blocks: int):
+        assert block_len == self.generator.block_len
+        buf = np.zeros(0, dtype=np.complex64)
+        to_skip = self.skip
+        extra = -(-self.skip // block_len)  # ceil: extra TX blocks needed
+        emitted = 0
+        for x in self.generator.blocks(n_blocks + extra):
+            y = np.asarray(self.channel(x), dtype=np.complex64)
+            if to_skip:
+                drop = min(to_skip, len(y))
+                y = y[drop:]
+                to_skip -= drop
+            buf = np.concatenate([buf, y]) if len(buf) else y
+            while len(buf) >= block_len and emitted < n_blocks:
+                yield buf[:block_len]
+                buf = buf[block_len:]
+                emitted += 1
+            if emitted >= n_blocks:
+                return
+        while emitted < n_blocks:           # generator ran dry: zero-pad
+            pad = np.zeros(block_len, dtype=np.complex64)
+            pad[:len(buf)] = buf
+            yield pad
+            buf = np.zeros(0, dtype=np.complex64)
+            emitted += 1
+
+
+def _pair_tx(params: UsrpParams, rx_name: str) -> Optional[str]:
+    """Find the TX antenna driving a given RX (same front end letter,
+    mirroring the reference's A_TXRX->A_RX2 pairing)."""
+    letter = rx_name[0]
+    for name, p in params.active_antennas(AntMode.TX):
+        if name.startswith(letter):
+            return name
+    for name, p in params.active_antennas(AntMode.TX):
+        return name
+    return None
+
+
+def run_measurement(params: UsrpParams, filename: Optional[str] = None,
+                    channel: Optional[Channel] = None,
+                    source: Optional[Source] = None,
+                    extra_sinks: Sequence[Sink] = (),
+                    trigger=None, **tags) -> Optional[str]:
+    """Execute a measurement described by `params`.
+
+    * If `source` is given, it replaces the radio (replay mode).
+    * Else if a TX antenna is active, TX drives RX through `channel`
+      (default ideal loopback).
+    * Else RX consumes white noise.
+
+    Writes an HDF5 file in the reference layout when `filename` is given and
+    returns the filename; with filename=None only `extra_sinks` receive data.
+    """
+    from .client.files import H5Sink
+
+    params.validate()
+    results = []
+    out_name = None
+    for rx_name, rx in params.active_antennas(AntMode.RX):
+        demod = make_demodulator(rx)
+        if source is not None:
+            src = source
+        else:
+            tx_name = _pair_tx(params, rx_name)
+            if tx_name is not None:
+                tx = params.antenna(tx_name)
+                gen = make_generator(tx, block_len=demod.plan.block_len)
+                # timed RX start: honor the delay parameter difference
+                # (line-delay compensation, reference
+                # cpp/USRP_hardware_manager.cpp stream-command time_spec)
+                skip = int(round(max(rx.delay - tx.delay, 0.0) * rx.rate))
+                src = ChannelSource(gen, channel or IdealChannel(),
+                                    skip_samples=skip)
+            else:
+                src = WhiteNoiseSource()
+        sinks = list(extra_sinks)
+        if filename is not None:
+            h5 = H5Sink(filename, params, ant_name=rx_name, trigger=trigger,
+                        **tags)
+            sinks.append(h5)
+            out_name = h5.filename
+        res = run_pipeline(demod, src, sinks,
+                           usrp_number=params.usrp_number,
+                           front_end=rx_name[0])
+        results.append(res)
+    return out_name if filename is not None else None
