@@ -241,16 +241,39 @@ class H5Sink(Sink):
                                           **tags)
         self._group = self._fp[grp_name][ant_name]
         self._written = 0
+        # cap at the acquisition's expected length: the engine processes
+        # whole blocks (static shapes), but the measurement contract is
+        # `samples` raw samples (reference stops the UHD stream there)
+        p = params.antenna(ant_name)
+        self._cap = None if trigger is not None else expected_data_len(p)
 
     def on_packet(self, meta: PacketMeta, data: np.ndarray) -> None:
         """data: (rows, channels) complex64 -> stored as (channels, rows)."""
         if self.trigger is not None:
-            data = self.trigger.trigger(data.T, meta)
-            data = np.asarray(data).T if data is not None else None
-            if data is None or data.size == 0:
+            # reference trigger contract: flat interleaved data
+            # (ch0_t0, ch1_t0, ch0_t1, ...) + metadata dict
+            md = {"channels": meta.channels, "length": int(data.size),
+                  "packet_number": meta.packet_number}
+            out, md = self.trigger.trigger(data.reshape(-1), md)
+            out = np.asarray(out).reshape(-1)
+            if md.get("length", 0) == 0 or out.size == 0:
                 return
+            data = out[:  (len(out) // meta.channels) * meta.channels
+                       ].reshape(-1, meta.channels)
         ds = self._group["data"]
+        if data.shape[1] != ds.shape[0]:
+            # NOISE full-spectrum mode: the file schema has
+            # n_chan = len(wave_type) (usually 1) and the spectra stream is
+            # stored flattened frame-major (reference Param_to_H5 sizing +
+            # plot_pfb reshape, pyUSRP/USRP_full_spec.py:460-470)
+            data = data.reshape(-1, ds.shape[0])
         rows = data.shape[0]
+        if self._cap is not None:
+            if self._written >= self._cap:
+                return
+            if self._written + rows > self._cap:
+                rows = self._cap - self._written
+                data = data[:rows]
         if self._written + rows > ds.shape[1]:
             ds.resize((ds.shape[0], self._written + rows))
         ds[:, self._written:self._written + rows] = data.T

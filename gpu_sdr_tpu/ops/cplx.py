@@ -197,12 +197,15 @@ class DFT:
     — two matmul stages + one elementwise twiddle, all MXU/VPU work.
     """
 
-    def __init__(self, n: int, inverse: bool = False):
+    def __init__(self, n: int, inverse: bool = False,
+                 two_stage: bool | None = None):
         self.n = n
         self.inverse = inverse
         self.split = None
         n1, n2 = _best_split(n)
-        if n <= _TWO_STAGE_MIN or n1 == 1:
+        if two_stage is None:
+            two_stage = n > _TWO_STAGE_MIN
+        if not two_stage or n1 == 1:
             self.F = dft_matrix(n, inverse)
         else:
             sign = +1.0 if inverse else -1.0
