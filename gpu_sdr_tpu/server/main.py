@@ -1,0 +1,151 @@
+"""Server entry point — the TPU-native usrp_server daemon.
+
+Mirrors the reference main loop (cpp/usrp_server.cpp:19-114): parse CLI
+flags, start the command (async) and data (sync) TCP servers, then loop:
+receive JSON command -> validate (chk_param) -> ack/nack -> set/start the
+measurement -> poll completion -> send the EOM ack.
+
+Hardware I/O is replaced by replay/synthetic ingest: --sw_loop (default)
+loops TX generation into RX through an optional channel model; --replay
+serves IQ blocks from a recorded file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+from ..engine.sources import ReplaySource
+from ..params import ParamError, ServerSettings, UsrpParams
+from ..utils.log import get_logger, init_logger, set_this_thread_name
+from .network import AsyncServer, SyncServer, server_ack, server_nack
+from .txrx import TXRX
+from . import wire
+
+log = get_logger("main")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI flags (reference boost::program_options,
+    cpp/usrp_server.cpp:34-47)."""
+    p = argparse.ArgumentParser(
+        prog="gpu_sdr_tpu-server",
+        description="TPU-native SDR readout server")
+    p.add_argument("--fw", action="store_true",
+                   help="enable server-side file writing")
+    p.add_argument("--no_net", action="store_true",
+                   help="disable TCP streaming of results")
+    p.add_argument("--sw_loop", action="store_true", default=True,
+                   help="software loopback instead of hardware (default; "
+                        "this build has no radio hardware)")
+    p.add_argument("--replay", type=str, default=None,
+                   help="replay IQ stream from file instead of loopback")
+    p.add_argument("--clock", type=str, default="internal",
+                   choices=["internal", "external"])
+    p.add_argument("--async_port", dest="async_port", type=int,
+                   default=wire.ASYNC_PORT)
+    p.add_argument("--data_port", dest="data_port", type=int,
+                   default=wire.SYNC_PORT)
+    p.add_argument("--args", type=str, default="",
+                   help="device arguments (accepted for compatibility)")
+    p.add_argument("--one_shot", action="store_true",
+                   help="serve a single measurement then exit (testing)")
+    return p
+
+
+class Server:
+    """The composed daemon: async + sync servers + TXRX."""
+
+    def __init__(self, async_port: int = wire.ASYNC_PORT,
+                 data_port: int = wire.SYNC_PORT,
+                 file_writing: bool = False, tcp_streaming: bool = True,
+                 replay: Optional[str] = None, channel=None,
+                 host: str = "0.0.0.0"):
+        self.settings = ServerSettings(tcp_streaming=tcp_streaming,
+                                       file_writing=file_writing)
+        self.sync = SyncServer(port=data_port, host=host) \
+            if tcp_streaming else None
+        self.async_srv = AsyncServer(port=async_port, host=host)
+        source = ReplaySource(replay) if replay else None
+        self.txrx = TXRX(self.settings, sync_server=self.sync,
+                         channel=channel, source=source)
+        self._active = True
+
+    @property
+    def ports(self):
+        return (self.async_srv.port,
+                self.sync.port if self.sync else None)
+
+    def start(self):
+        if self.sync is not None:
+            self.sync.start()
+        self.async_srv.start()
+
+    def serve_one(self, timeout: Optional[float] = None) -> bool:
+        """One main-loop iteration (reference cpp/usrp_server.cpp:75-108):
+        returns True if a measurement was served."""
+        cmd = self.async_srv.recv_command(timeout=timeout)
+        if cmd is None:
+            return False
+        try:
+            params = UsrpParams.from_json(cmd)
+            warnings = params.validate()
+            for w in warnings:
+                log.warning("%s", w)
+        except (ParamError, ValueError, KeyError) as e:
+            log.error("bad command: %s", e)
+            self.async_srv.send(server_nack(str(e)))
+            return False
+        self.async_srv.send(server_ack("parameters accepted"))
+        self.txrx.set(params)
+        self.txrx.start()
+        while not self.txrx.stop():
+            time.sleep(0.1)          # reference polls every 500 ms
+        if self.sync is not None:
+            self.sync.flush()
+        if self.txrx.error is not None:
+            self.async_srv.send(server_nack(str(self.txrx.error)))
+        else:
+            self.async_srv.send(server_ack("EOM: end of measurement"))
+        return True
+
+    def serve_forever(self):
+        set_this_thread_name("server_main")
+        while self._active:
+            self.serve_one(timeout=0.5)
+
+    def close(self):
+        self._active = False
+        if self.sync is not None:
+            self.sync.close()
+        self.async_srv.close()
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    init_logger()
+    log.info("server starting (sw_loop=%s replay=%s)", args.sw_loop,
+             args.replay)
+    srv = Server(async_port=args.async_port, data_port=args.data_port,
+                 file_writing=args.fw, tcp_streaming=not args.no_net,
+                 replay=args.replay)
+    srv.start()
+    print(f"gpu_sdr_tpu server ready: async port {srv.ports[0]}, "
+          f"data port {srv.ports[1]}")
+    try:
+        if args.one_shot:
+            while not srv.serve_one(timeout=1.0):
+                pass
+        else:
+            srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
