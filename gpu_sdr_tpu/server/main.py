@@ -62,11 +62,19 @@ class Server:
                  data_port: int = wire.SYNC_PORT,
                  file_writing: bool = False, tcp_streaming: bool = True,
                  replay: Optional[str] = None, channel=None,
-                 host: str = "0.0.0.0"):
+                 host: str = "0.0.0.0", use_native: Optional[bool] = None):
         self.settings = ServerSettings(tcp_streaming=tcp_streaming,
                                        file_writing=file_writing)
-        self.sync = SyncServer(port=data_port, host=host) \
-            if tcp_streaming else None
+        self.sync = None
+        if tcp_streaming:
+            from . import native as native_mod
+            if use_native is None:
+                use_native = native_mod.available()
+            if use_native:
+                self.sync = native_mod.NativeSyncServer(port=data_port)
+                log.info("using native C++ data-plane streamer")
+            else:
+                self.sync = SyncServer(port=data_port, host=host)
         self.async_srv = AsyncServer(port=async_port, host=host)
         source = ReplaySource(replay) if replay else None
         self.txrx = TXRX(self.settings, sync_server=self.sync,

@@ -1,0 +1,140 @@
+"""ctypes binding to the native C++ data-plane streamer.
+
+The native library (native/stream_server.cpp) owns the hot TCP path: a
+lock-free SPSC ring of framed packets drained by a dedicated streaming
+thread — the direct counterpart of the reference's C++ Sync_server +
+lock-free stream queue.  Build it with:
+
+    cmake -S native -B native/build && cmake --build native/build
+
+When the shared library is absent, callers fall back to the pure-Python
+SyncServer (server/network.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from . import wire
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
+                 "libsdr_native.so"),
+    os.path.join(os.path.dirname(__file__), "libsdr_native.so"),
+]
+
+_lib = None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.sdr_stream_server_create.restype = ctypes.c_void_p
+            lib.sdr_stream_server_create.argtypes = [
+                ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t]
+            lib.sdr_stream_server_port.restype = ctypes.c_int
+            lib.sdr_stream_server_port.argtypes = [ctypes.c_void_p]
+            lib.sdr_stream_server_push.restype = ctypes.c_int
+            lib.sdr_stream_server_push.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+            lib.sdr_stream_server_pending.restype = ctypes.c_int
+            lib.sdr_stream_server_pending.argtypes = [ctypes.c_void_p]
+            lib.sdr_stream_server_connected.restype = ctypes.c_int
+            lib.sdr_stream_server_connected.argtypes = [ctypes.c_void_p]
+            lib.sdr_stream_server_packets_sent.restype = ctypes.c_ulonglong
+            lib.sdr_stream_server_packets_sent.argtypes = [ctypes.c_void_p]
+            lib.sdr_stream_server_bytes_sent.restype = ctypes.c_ulonglong
+            lib.sdr_stream_server_bytes_sent.argtypes = [ctypes.c_void_p]
+            lib.sdr_stream_server_destroy.argtypes = [ctypes.c_void_p]
+            _lib = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+class NativeSyncServer:
+    """Drop-in data-plane server backed by the C++ streamer.
+
+    Same surface as network.SyncServer: start()/push()/flush()/close(),
+    `port` attribute.
+    """
+
+    def __init__(self, port: int = wire.SYNC_PORT,
+                 slot_bytes: int = 8 * 2_000_000 + wire.HEADER_SIZE,
+                 queue_len: int = 64):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native streamer library not built")
+        self._lib = lib
+        self._h = lib.sdr_stream_server_create(port, slot_bytes, queue_len)
+        if not self._h:
+            raise RuntimeError(f"cannot bind native streamer to port {port}")
+        self.port = lib.sdr_stream_server_port(self._h)
+
+    def start(self) -> None:
+        pass  # the native worker thread starts at create time
+
+    def push(self, meta, data: np.ndarray, timeout: float = 5.0) -> bool:
+        fe = meta.front_end_code
+        if len(fe) == 1:
+            fe = {"A": "A_RX2", "B": "B_RX2"}[fe]
+        code = wire.FRONT_END_CODES.get(fe, b"B")
+        buf = wire.encode_sync_packet(meta.usrp_number, code,
+                                      meta.packet_number, meta.errors,
+                                      meta.channels, data)
+        t0 = time.monotonic()
+        while True:
+            if self._lib.sdr_stream_server_push(self._h, buf, len(buf)):
+                return True
+            if time.monotonic() - t0 > timeout:
+                return False
+            time.sleep(0.001)
+
+    def wait_client(self, timeout: Optional[float] = None) -> bool:
+        t0 = time.monotonic()
+        while True:
+            if self._lib.sdr_stream_server_connected(self._h):
+                return True
+            if timeout is not None and time.monotonic() - t0 > timeout:
+                return False
+            time.sleep(0.01)
+
+    def flush(self, timeout: float = 10.0) -> None:
+        t0 = time.monotonic()
+        while self._lib.sdr_stream_server_pending(self._h) > 0:
+            if time.monotonic() - t0 > timeout:
+                break
+            time.sleep(0.005)
+
+    @property
+    def stats(self):
+        return {
+            "packets_sent": int(
+                self._lib.sdr_stream_server_packets_sent(self._h)),
+            "bytes_sent": int(
+                self._lib.sdr_stream_server_bytes_sent(self._h)),
+        }
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.sdr_stream_server_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
