@@ -269,6 +269,35 @@ def get_tones(filename, usrp_number=0) -> np.ndarray:
     return np.asarray([p.tone + f for f in p.freq])
 
 
+def copy_resonator_group(vna_filename, noise_filename) -> None:
+    """Copy the fitted Resonators group from a VNA file into a noise file
+    (reference copy_resonator_group, pyUSRP/USRP_noise.py:1111-1151)."""
+    vna_filename = Ufiles.format_filename(vna_filename)
+    noise_filename = Ufiles.format_filename(noise_filename)
+    with h5py.File(vna_filename, "r") as src, \
+            h5py.File(noise_filename, "r+") as dst:
+        if "Resonators" not in src:
+            raise ValueError(f"no Resonators group in {vna_filename}")
+        if "Resonators" in dst:
+            del dst["Resonators"]
+        src.copy("Resonators", dst)
+
+
+def get_frequency_timestreams(filename, start_time=None, end_time=None,
+                              usrp_number=0, ant=None):
+    """Fractional-frequency and Qr timestreams using the fit parameters
+    stored in the file's Resonators group (reference
+    get_frequency_timestreams, pyUSRP/USRP_noise.py:1153-1227).
+    Returns (dff, dqr) arrays of shape (n_chan, n_samples)."""
+    from .fitting import get_fit_param
+    fit_params = get_fit_param(filename)
+    fp = [{"f0": p["f0"] * 1e6, "Qr": p["Qr"],
+           "Qe_re": np.real(p["Qe"]), "Qe_im": np.imag(p["Qe"]),
+           "A": p["A"], "phi": p["phi"]} for p in fit_params]
+    return calculate_frequency_timestream(filename, fp,
+                                          usrp_number=usrp_number, ant=ant)
+
+
 def calculate_frequency_timestream(filename, fit_param, usrp_number=0,
                                    ant=None):
     """Convert IQ channel timestreams to fractional-frequency (df/f) and

@@ -1,0 +1,136 @@
+"""pyUSRP-compatible facade.
+
+Drop-in namespace mirroring the reference client library: reference-style
+workflows change only their import line,
+
+    import gpu_sdr_tpu.pyusrp as u
+
+and keep calling `u.Connect()`, `u.Single_VNA(...)`, `u.Get_noise(...)`,
+`u.measure_line_delay(...)`, `u.vna_fit(...)`, etc.
+
+Execution model: by default measurements run on the in-process TPU engine
+(no server round trip needed).  `Connect(host=...)` attaches to a remote
+gpu_sdr_tpu server over the reference TCP protocol instead.
+"""
+
+from __future__ import annotations
+
+# --- low level (USRP_low_level) --------------------------------------
+from .client.files import USRP_calibration, USRP_power  # noqa: F401
+from .client.noise import USRP_accepted_rates, find_nearest, quantize_tones  # noqa: F401
+from .utils.diagnostics import print_debug, print_error, print_warning  # noqa: F401
+
+
+def get_timestamp():
+    import datetime
+    return datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+def vrms2dbm(vp):
+    from .client.fitting import vrms2dbm as f
+    return f(vp)
+
+
+def dbm2vrms(dbm):
+    from .client.fitting import dbm2vrms as f
+    return f(dbm)
+
+
+# --- connections (USRP_connections) ----------------------------------
+from .client.connections import (Async_send, Disconnect,  # noqa: F401,E402
+                                 Connection, Packets_to_file, get_connection)
+from .client import connections as _connections  # noqa: E402
+
+
+def Connect(timeout: float = 10.0, host=None, **kwargs) -> bool:
+    """Reference-compatible Connect().
+
+    With no host (the default) measurements run on the in-process TPU
+    engine and no connection is needed — returns True immediately.  Pass
+    ``host=...`` to attach to a remote gpu_sdr_tpu server over TCP.
+    """
+    if host is None:
+        return True
+    return _connections.Connect(timeout=timeout, host=host, **kwargs)
+
+# --- files (USRP_files) ----------------------------------------------
+from .client.files import (H5Sink, bound_open, chk_multi_usrp,  # noqa: F401,E402
+                           format_filename, get_init_peaks, get_noise,
+                           get_readout_power, get_rx_info, get_tx_info,
+                           get_VNA_data, is_VNA_analyzed, openH5file,
+                           params_to_h5 as Param_to_H5,
+                           retrieve_params_from_file)
+from .params import AntennaParams, AntMode, UsrpParams, WaveType  # noqa: F401,E402
+
+
+class global_parameter(UsrpParams):
+    """Back-compat alias: the reference's measure descriptor class."""
+
+    def set(self, ant, key, value):
+        key_map = {"rf": "tone"}
+        p = self.antenna(ant)
+        attr = key_map.get(key, key)
+        if key == "wave_type":
+            value = [WaveType(v) for v in value]
+        if key == "mode":
+            value = AntMode(value)
+        setattr(p, attr, value)
+        return True
+
+    def get(self, ant, key):
+        key_map = {"rf": "tone"}
+        return getattr(self.antenna(ant), key_map.get(key, key))
+
+    def self_check(self):
+        try:
+            self.validate()
+            return True
+        except Exception:
+            return False
+
+
+# --- VNA (USRP_VNA) --------------------------------------------------
+from .client.vna import (Dual_VNA, Single_VNA, VNA_analysis,  # noqa: F401,E402
+                         VNA_timestream_analysis)
+from .client.plotting import plot_VNA, VNA_timestream_plot  # noqa: F401,E402
+
+# --- noise (USRP_noise) ----------------------------------------------
+from .client.noise import (Get_noise, calculate_frequency_timestream,  # noqa: F401,E402
+                           calculate_noise, copy_resonator_group,
+                           dual_get_noise, get_frequency_timestreams,
+                           spec_from_samples)
+from .client.plotting import (diagnostic_VNA_noise, plot_noise_spec,  # noqa: F401,E402
+                              plot_frequency_timestreams)
+
+# --- fitting (USRP_fitting) ------------------------------------------
+from .client.fitting import (S21_func, do_fit, extimate_peak_number,  # noqa: F401,E402
+                             get_best_readout, get_fit_data, get_fit_param,
+                             get_tones, initialize_from_VNA,
+                             initialize_peaks, min_readout_spacing,
+                             nonlinear_model, vna_fit)
+from .client.plotting import plot_resonators  # noqa: F401,E402
+
+# --- delay (USRP_delay) ----------------------------------------------
+from .client.delay import (LINE_DELAY, analyze_line_delay,  # noqa: F401,E402
+                           load_delay_from_file, load_delay_from_folder,
+                           measure_line_delay, set_line_delay,
+                           write_delay_to_file)
+
+# --- full spectrum (USRP_full_spec) ----------------------------------
+from .client.full_spec import Get_full_spec, get_NODSP_tones  # noqa: F401,E402
+from .client.plotting import plot_pfb  # noqa: F401,E402
+
+# --- triggers (USRP_triggers) ----------------------------------------
+from .client.triggers import amplitude_trigger, deriv_test, trigger_template  # noqa: F401,E402
+
+# --- plotting (USRP_plotting) ----------------------------------------
+from .client.plotting import get_color, plot_raw_data  # noqa: F401,E402
+
+# --- data analysis ----------------------------------------------------
+from .client.data_analysis import linear_phase  # noqa: F401,E402
+
+# --- engine extensions (no reference equivalent) ----------------------
+from .engine.channel import (ChainChannel, DelayChannel,  # noqa: F401,E402
+                             FrequencyResponseChannel, IdealChannel,
+                             make_resonator_channel)
+from .measure import run_measurement  # noqa: F401,E402
