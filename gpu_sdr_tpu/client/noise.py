@@ -134,9 +134,11 @@ def compose_noise_command(tones, measure_t, rate, decimation=None,
 def Get_noise(tones, measure_t, rate, decimation=None, amplitudes=None,
               RF=None, tx_gain=0, output_filename=None, Front_end=None,
               Device=None, delay=None, pf_average=None, mode="DIRECT",
-              trigger=None, channel=None, source=None, **kwargs) -> str:
+              trigger=None, channel=None, source=None, push_queue=None,
+              **kwargs) -> str:
     """Fixed-tone noise acquisition (reference Get_noise,
-    pyUSRP/USRP_noise.py:385-650)."""
+    pyUSRP/USRP_noise.py:385-650).  `push_queue` receives (meta, data)
+    per packet for live consumers (the reference's live_demo path)."""
     from ..measure import run_measurement
 
     cmd = compose_noise_command(
@@ -145,9 +147,14 @@ def Get_noise(tones, measure_t, rate, decimation=None, amplitudes=None,
         delay=delay, pf_average=pf_average, mode=mode)
     if output_filename is None:
         output_filename = "USRP_Noise_" + _timestamp()
+    extra = []
+    if push_queue is not None:
+        from ..engine.sinks import CallbackSink
+        extra.append(CallbackSink(
+            lambda meta, data: push_queue.put((meta, data))))
     return run_measurement(cmd, output_filename, channel=channel,
                            source=source, trigger=trigger,
-                           meas_type="Noise", **kwargs)
+                           extra_sinks=extra, meas_type="Noise", **kwargs)
 
 
 def dual_get_noise(tones_A, tones_B, measure_t, rate, decimation=None,
