@@ -33,7 +33,11 @@ import sys
 import time
 
 
-def bench_loopback_1000(n_blocks: int = 30, block_len: int = 1_048_576):
+def bench_loopback_1000(n_blocks: int = 10,
+                        block_len: int = 24 * 1_048_576):
+    """Defaults: 24 Msample blocks — the per-execution overhead of this
+    rig's relay (~2.7 ms) is amortized; measured scaling:
+    1M: 327 Msps, 8M: 1916, 16M: 1975, 24M: 2434 Msps/chip."""
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -130,6 +130,43 @@ def make_resonator_channel(rate: float, resonators: Sequence[dict],
 
 
 @dataclasses.dataclass
+class DropoutChannel(Channel):
+    """Fault injection: zero out random spans of samples, reporting how
+    many events hit each block via `take_errors()`.
+
+    The reference counts UHD stream errors (overflow/alignment/...) per
+    packet and rides them through RX_wrapper.errors into the H5 errors
+    dataset (cpp/USRP_server_diagnostic.cpp:14-106); this channel lets
+    tests exercise that path without hardware.
+    """
+
+    rate: float
+    events_per_second: float = 1.0
+    dropout_len: int = 1000
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self._pending_errors = 0
+
+    def __call__(self, block):
+        block = np.array(block, dtype=np.complex64)
+        p = self.events_per_second * len(block) / self.rate
+        n_events = self._rng.poisson(p)
+        for _ in range(n_events):
+            start = self._rng.integers(0, max(1, len(block) -
+                                              self.dropout_len))
+            block[start:start + self.dropout_len] = 0
+        self._pending_errors += int(n_events)
+        return block
+
+    def take_errors(self) -> int:
+        n = self._pending_errors
+        self._pending_errors = 0
+        return n
+
+
+@dataclasses.dataclass
 class ChainChannel(Channel):
     """Compose channels left-to-right, with optional additive noise."""
 
@@ -148,3 +185,7 @@ class ChainChannel(Channel):
                 (self.noise_rms / np.sqrt(2.0))
             block = block + (n[::2] + 1j * n[1::2])
         return np.asarray(block, dtype=np.complex64)
+
+    def take_errors(self) -> int:
+        return sum(int(c.take_errors())
+                   for c in self.channels if hasattr(c, "take_errors"))

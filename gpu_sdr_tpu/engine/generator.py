@@ -44,6 +44,38 @@ class Generator:
             yield cplx.to_np(x)
 
 
+def _apply_burst(gen: Generator, p: AntennaParams) -> Generator:
+    """Wrap a generator with burst gating: burst_on seconds of signal,
+    burst_off of silence, repeating (the reference implements this with
+    timed UHD start/stop-of-burst metadata, single_tx_thread,
+    cpp/USRP_hardware_manager.cpp:1178-1291; here it is an on-device mask
+    driven by a carried absolute-sample counter)."""
+    rate = int(p.rate)
+    on = int(round(p.burst_on * rate))
+    period = on + int(round(p.burst_off * rate))
+    assert period < 2 ** 31, "burst period must fit in int32 samples"
+    L = gen.block_len
+    inner_step = gen.step
+    inner_init = gen.init_state
+
+    def init_state():
+        return (inner_init(), jnp.int32(0))
+
+    @jax.jit
+    def step(state):
+        inner, off = state
+        inner, x = inner_step(inner)
+        t = (off + jnp.arange(L, dtype=jnp.int32)) % jnp.int32(period)
+        mask = (t < on).astype(x.re.dtype)
+        from ..ops.cplx import C
+        x = C(x.re * mask, x.im * mask)
+        new_off = (off + jnp.int32(L % period)) % jnp.int32(period)
+        return (inner, new_off), x
+
+    return Generator(block_len=L, init_state=init_state, step=step,
+                     wave_type=gen.wave_type)
+
+
 def make_generator(p: AntennaParams, block_len: int | None = None) -> Generator:
     """Build the TX generator for one antenna (the reference ctor dispatch,
     cpp/USRP_buffer_generator.cpp:39-159)."""
@@ -67,8 +99,9 @@ def make_generator(p: AntennaParams, block_len: int | None = None) -> Generator:
         def step(phase):
             return tone_ops.tone_comb_block(P, Q, step_v, W, phase)
 
-        return Generator(block_len=L, init_state=init_state, step=step,
-                         wave_type=w)
+        gen = Generator(block_len=L, init_state=init_state, step=step,
+                        wave_type=w)
+        return _apply_burst(gen, p) if p.burst_on > 0 else gen
 
     if w == WaveType.CHIRP:
         steps, _length = chirp_steps_and_length(p)
@@ -83,8 +116,9 @@ def make_generator(p: AntennaParams, block_len: int | None = None) -> Generator:
         def step(last):
             return chirp_ops.chirp_block(cfg, last, L, scale=scale)
 
-        return Generator(block_len=L, init_state=init_state, step=step,
-                         wave_type=w)
+        gen = Generator(block_len=L, init_state=init_state, step=step,
+                        wave_type=w)
+        return _apply_burst(gen, p) if p.burst_on > 0 else gen
 
     raise NotImplementedError(
         f"TX generation for {w} is not implemented "

@@ -55,15 +55,16 @@ def run_pipeline(demod: Demodulator, source: Source,
     rows = 0
     pkt = 0
     t0 = time.perf_counter()
+    take_errors = getattr(source, "take_errors", lambda: 0)
 
     def drain_one():
         nonlocal rows, pkt
-        y = inflight.popleft()
+        y, errs = inflight.popleft()
         data = cplx.to_np(y)
         meta = PacketMeta(
             usrp_number=usrp_number, front_end_code=front_end,
             packet_number=pkt, length=int(data.size),
-            errors=0, channels=int(data.shape[1]))
+            errors=errs, channels=int(data.shape[1]))
         for s in sinks:
             s.on_packet(meta, data)
         rows += data.shape[0]
@@ -71,7 +72,7 @@ def run_pipeline(demod: Demodulator, source: Source,
 
     for blk in source.blocks(plan.block_len, nb):
         state, y = demod.step(state, cplx.from_np(blk))
-        inflight.append(y)
+        inflight.append((y, int(take_errors())))
         if len(inflight) > depth:
             drain_one()
     while inflight:

@@ -40,6 +40,13 @@ class ChannelSource(Source):
         self.channel = channel
         self.skip = int(skip_samples)
 
+    def take_errors(self) -> int:
+        """Error events injected by the channel since the last call (rides
+        the RX_wrapper.errors field like the reference's UHD error
+        counters)."""
+        fn = getattr(self.channel, "take_errors", None)
+        return int(fn()) if fn else 0
+
     def blocks(self, block_len: int, n_blocks: int):
         assert block_len == self.generator.block_len
         buf = np.zeros(0, dtype=np.complex64)
