@@ -196,6 +196,34 @@ def openH5file(filename: str, ch_list=None, start_sample=None,
         f.close()
         raise KeyError("no RX data in file")
     sub = group[front_end if front_end is not None else recv[0]]
+
+    if "data" not in sub and "dataset_1" in sub:
+        # "old mode": one dataset per packet, as written by the reference
+        # *server-side* H5 writer (cpp/USRP_file_writer.cpp:249-341;
+        # read path openH5file old_mode, pyUSRP/USRP_files.py:244-300)
+        pieces, err_index, errors, idx = [], [], 0, 1
+        while f"dataset_{idx}" in sub:
+            ds = sub[f"dataset_{idx}"]
+            e = int(ds.attrs.get("errors", 0) or 0)
+            if e:
+                err_index.append((sum(p.shape[1] for p in pieces),
+                                  sum(p.shape[1] for p in pieces)
+                                  + ds.shape[1]))
+                errors += e
+            pieces.append(ds[:])
+            idx += 1
+        data = np.concatenate(pieces, axis=1)
+        n_chan = data.shape[0]
+        if ch_list is None:
+            ch_list = list(range(n_chan))
+        s0 = int(start_sample or 0)
+        s1 = int(last_sample) if last_sample is not None else data.shape[1]
+        data = data[ch_list, s0:s1]
+        f.close()
+        if error_coord:
+            return data, np.asarray(err_index)
+        return data
+
     n_chan = sub["data"].shape[0]
     if ch_list is None:
         ch_list = list(range(n_chan))

@@ -1,0 +1,119 @@
+"""Pallas TPU kernel: fused chirp demodulation + lock-in decimation.
+
+The XLA path (ops/chirp.py + ops/lockin.py) materializes the full
+demodulated stream z = conj(chirp) * x (two HBM round trips of the block)
+before the segment reduction.  This kernel fuses the three stages — integer
+phase accumulator -> oscillator -> conjugate mix -> profile-weighted segment
+sum — into one pass: each grid step loads a (SEG_TILE, ppt) tile of the
+input, computes the chirp phases for exactly those samples from the uint32
+accumulator (bit-identical math to ops/chirp.py), and reduces to SEG_TILE
+lock-in points without writing z anywhere.
+
+Used opportunistically: `fused_chirp_lockin` falls back to the XLA ops
+when Pallas is unavailable; both paths match the golden model.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import golden
+from . import cplx
+from .chirp import ChirpConfig
+from .cplx import C
+
+_INV_2_31_5 = np.float32(1.0 / golden.TWO_31_5)
+
+
+def _phase_wave(cfg: ChirpConfig, n: jax.Array, last_index: jax.Array):
+    """sin/cos of the chirp at uint32 sample offsets n (any shape).
+    Same arithmetic as ops/chirp._phase_index (wrapping uint32)."""
+    period = jnp.uint32(cfg.period)
+    length = jnp.uint32(cfg.length)
+    chirpness = jnp.uint32(cfg.chirpness & 0xFFFFFFFF)
+    f0 = jnp.uint32(cfg.f0 & 0xFFFFFFFF)
+    one, two = jnp.uint32(1), jnp.uint32(2)
+    eff = (last_index % period) + (n % period)
+    eff = jnp.where(eff >= period, eff - period, eff)
+    fi = eff // length
+    q_phase = (fi // two) * (fi + one) + (fi % two) * ((fi + one) // two)
+    pc = chirpness * (length * q_phase)
+    idx = (eff * (f0 + fi * chirpness) - pc).astype(jnp.int32)
+    th = jnp.float32(np.pi) * (idx.astype(jnp.float32) * _INV_2_31_5)
+    return jnp.sin(th), -jnp.cos(th)       # (chirp_re, chirp_im)
+
+
+def _kernel(cfg: ChirpConfig, seg_tile: int, ppt: int,
+            last_ref, xr_ref, xi_ref, w_ref, or_ref, oi_ref):
+    t = jax.lax.broadcasted_iota(jnp.uint32, (seg_tile, ppt), 0)
+    k = jax.lax.broadcasted_iota(jnp.uint32, (seg_tile, ppt), 1)
+    import jax.experimental.pallas as pl
+    seg0 = jnp.uint32(pl.program_id(0) * seg_tile)
+    n = (seg0 + t) * jnp.uint32(ppt) + k
+    cr, ci = _phase_wave(cfg, n, last_ref[0])
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    # z = conj(c) * x
+    zr = cr * xr + ci * xi
+    zi = cr * xi - ci * xr
+    w = w_ref[:]
+    or_ref[:] = jnp.sum(zr * w[None, :], axis=1, keepdims=True)
+    oi_ref[:] = jnp.sum(zi * w[None, :], axis=1, keepdims=True)
+
+
+def pallas_chirp_lockin(cfg: ChirpConfig, profile: jax.Array,
+                        last_index: jax.Array, x: C,
+                        seg_tile: int = 8, interpret: bool = False):
+    """Fused kernel: x (nseg*ppt,) -> lock-in points (nseg,).
+    Returns (new_last_index, y: C(nseg,))."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ppt = profile.shape[0]
+    L = x.shape[0]
+    nseg = L // ppt
+    assert nseg % seg_tile == 0, "nseg must be a multiple of seg_tile"
+    xr = x.re.reshape(nseg, ppt)
+    xi = x.im.reshape(nseg, ppt)
+    last_arr = jnp.asarray(last_index, dtype=jnp.uint32).reshape(1)
+
+    grid = (nseg // seg_tile,)
+    kernel = functools.partial(_kernel, cfg, seg_tile, ppt)
+    out_shape = (jax.ShapeDtypeStruct((nseg, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((nseg, 1), jnp.float32))
+    o_re, o_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((seg_tile, ppt), lambda s: (s, 0)),
+            pl.BlockSpec((seg_tile, ppt), lambda s: (s, 0)),
+            pl.BlockSpec((ppt,), lambda s: (0,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((seg_tile, 1), lambda s: (s, 0)),
+            pl.BlockSpec((seg_tile, 1), lambda s: (s, 0)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(last_arr, xr, xi, profile)
+    new_last = (last_index + jnp.uint32(L % cfg.period)) % \
+        jnp.uint32(cfg.period)
+    return new_last, C(o_re[:, 0], o_im[:, 0])
+
+
+def fused_chirp_lockin(cfg: ChirpConfig, profile: jax.Array,
+                       last_index: jax.Array, x: C,
+                       use_pallas: bool = False, interpret: bool = False):
+    """Chirp demod + lock-in, Pallas-fused when requested, XLA otherwise."""
+    if use_pallas:
+        return pallas_chirp_lockin(cfg, profile, last_index, x,
+                                   interpret=interpret)
+    from .chirp import chirp_demod_block
+    from .lockin import lockin_decimate
+    last, z = chirp_demod_block(cfg, last_index, x)
+    return last, lockin_decimate(profile, z)
