@@ -168,16 +168,76 @@ def _build_nodsp(p: AntennaParams, plan: BlockPlan) -> Demodulator:
                        wave_type=WaveType.NODSP)
 
 
-def make_demodulator(p: AntennaParams,
-                     samples: int | None = None) -> Demodulator:
+def _mesh_plan(plan: BlockPlan, mesh, extra_stride: int) -> BlockPlan:
+    """Round the block length down to a multiple of (time shards * stride)
+    so time segments split evenly."""
+    t = mesh.shape.get("time", 1)
+    q = plan.stride * t * max(1, extra_stride)
+    block = max(q, (plan.block_len // q) * q)
+    import math
+    n_blocks = max(1, math.ceil(plan.total_samples / block))
+    return BlockPlan(block_len=block, stride=plan.stride,
+                     out_rows=block // plan.stride, n_blocks=n_blocks,
+                     total_samples=n_blocks * block)
+
+
+def _build_direct_sharded(p: AntennaParams, plan: BlockPlan,
+                          mesh) -> Demodulator:
+    """DIRECT mode over a (time, channels) mesh: channel-sharded modulated
+    taps + time-sharded blocks with ICI halo exchange (parallel/sharded)."""
+    from ..parallel.sharded import ShardedDDC
+    plan = _mesh_plan(plan, mesh, 1)
+    freqs = tuple(int(f) for f in p.freq)
+    cfg = ddc_ops.DirectDDCConfig(
+        rate=int(p.rate), decim=int(p.decim), pf_average=int(p.pf_average),
+        freqs=freqs, phases=(0,) * len(freqs))
+    sd = ShardedDDC(cfg, mesh, plan.block_len)
+
+    def step(state, x):
+        return sd.step(state, x)
+
+    return Demodulator(plan=plan, n_channels=len(freqs),
+                       init_state=sd.init_state, step=step,
+                       wave_type=WaveType.DIRECT)
+
+
+def _build_noise_sharded(p: AntennaParams, plan: BlockPlan,
+                         mesh) -> Demodulator:
+    """NOISE (full-spectrum PFB) over a (time, channels) mesh."""
+    from ..parallel.sharded_pfb import ShardedPFB
+    plan = _mesh_plan(plan, mesh, 1)
+    cfg = pfb_ops.PFBConfig(nfft=int(p.fft_tones), avg=int(p.pf_average),
+                            rate=int(p.rate))
+    sp = ShardedPFB(cfg, mesh, plan.block_len)
+
+    def step(state, x):
+        return sp.step(state, x)
+
+    return Demodulator(plan=plan, n_channels=int(p.fft_tones),
+                       init_state=sp.init_state, step=step,
+                       wave_type=WaveType.NOISE)
+
+
+def make_demodulator(p: AntennaParams, samples: int | None = None,
+                     mesh=None) -> Demodulator:
     """Build the streaming demodulator for one RX antenna (the factory
-    switch of the reference ctor, cpp/USRP_demodulator.cpp:56-326)."""
+    switch of the reference ctor, cpp/USRP_demodulator.cpp:56-326).
+
+    With `mesh` (a jax.sharding.Mesh with 'time'/'channels' axes), DIRECT
+    and NOISE modes run multi-chip with ICI halo exchange."""
     w = p.wave_type[0] if p.wave_type else WaveType.NODSP
     if any(x != w for x in p.wave_type):
         raise NotImplementedError(
             "Mixed RX buffer demodulation is not implemented "
             "(matches reference, cpp/USRP_demodulator.cpp:36-39)")
     plan = plan_blocks(p, samples)
+    if mesh is not None:
+        if w == WaveType.DIRECT:
+            return _build_direct_sharded(p, plan, mesh)
+        if w == WaveType.NOISE:
+            return _build_noise_sharded(p, plan, mesh)
+        raise NotImplementedError(
+            f"sharded demodulation for {w} not implemented yet")
     if w == WaveType.DIRECT:
         return _build_direct(p, plan)
     if w == WaveType.TONES:

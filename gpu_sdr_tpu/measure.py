@@ -90,7 +90,7 @@ def run_measurement(params: UsrpParams, filename: Optional[str] = None,
                     channel: Optional[Channel] = None,
                     source: Optional[Source] = None,
                     extra_sinks: Sequence[Sink] = (),
-                    trigger=None, **tags) -> Optional[str]:
+                    trigger=None, mesh=None, **tags) -> Optional[str]:
     """Execute a measurement described by `params`.
 
     * If `source` is given, it replaces the radio (replay mode).
@@ -107,7 +107,7 @@ def run_measurement(params: UsrpParams, filename: Optional[str] = None,
     results = []
     out_name = None
     for rx_name, rx in params.active_antennas(AntMode.RX):
-        demod = make_demodulator(rx)
+        demod = make_demodulator(rx, mesh=mesh)
         if source is not None:
             src = source
         else:
