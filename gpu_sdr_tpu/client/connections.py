@@ -41,6 +41,7 @@ class Connection:
         self.data_queue: "queue.Queue" = queue.Queue()
         self.end_of_measure = threading.Event()
         self.error_status = threading.Event()
+        self.remote_filename: Optional[str] = None
         self._stop = threading.Event()
         self._sync_thread = threading.Thread(target=self._sync_rx,
                                              name="Sync_RX", daemon=True)
@@ -89,8 +90,14 @@ class Connection:
             log.warning("cannot decode server response")
             return
         if res.get("type") == "ack":
-            if "EOM" in res.get("payload", ""):
+            payload = res.get("payload", "")
+            if "EOM" in payload:
                 self.end_of_measure.set()
+            elif "filename" in payload:
+                try:
+                    self.remote_filename = payload.split('"')[1]
+                except IndexError:
+                    pass
         elif res.get("type") == "nack":
             self.error_status.set()
             self.end_of_measure.set()

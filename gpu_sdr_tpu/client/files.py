@@ -315,6 +315,18 @@ class H5Sink(Sink):
     def on_end(self) -> None:
         try:
             self._group["data"].attrs.create("samples", self._written)
+            if self.trigger is not None and "trigger" in self._group:
+                # persist trigger bookkeeping (the attrs the reference
+                # stores for amplitude_trigger, USRP_files.py:1017-1027)
+                tds = self._group["trigger"]
+                for attr in ("bounds", "nglitch", "glitch_indices",
+                             "samples_per_packet"):
+                    val = getattr(self.trigger, attr, None)
+                    if val is not None:
+                        tds.attrs.create(attr, np.asarray(val))
+                chans = getattr(self.trigger, "channels", None)
+                if chans is not None:
+                    tds.attrs.create("triggering_chs", np.asarray(chans))
         finally:
             self._fp.close()
 
@@ -371,6 +383,22 @@ def get_noise(filename: str, usrp_number: int = 0,
             imag.append(np.asarray(sub[f"imag_{int(i)}"]))
             info["tones"].append(sub[f"imag_{int(i)}"].attrs.get("tone"))
         return info, freq, real, imag
+
+
+def get_trigger_info(filename: str, ant: Optional[str] = None):
+    """Trigger bookkeeping from a triggered measure: returns
+    (trigger_fcn_name, attrs dict) (reference get_trigger_info stub,
+    pyUSRP/USRP_files.py:398-408 — implemented here)."""
+    with bound_open(filename) as f:
+        group = f["raw_data0"]
+        recv = get_receivers(group)
+        sub = group[ant if ant is not None else recv[0]]
+        if "trigger" not in sub:
+            raise KeyError("measure was not triggered")
+        tds = sub["trigger"]
+        return (_attr_str(tds.attrs.get("trigger_fcn")),
+                {k: np.asarray(v) for k, v in tds.attrs.items()
+                 if k != "trigger_fcn"})
 
 
 def get_init_peaks(filename: str) -> np.ndarray:

@@ -116,6 +116,12 @@ class Server:
         if self.txrx.error is not None:
             self.async_srv.send(server_nack(str(self.txrx.error)))
         else:
+            if self.txrx.last_filename:
+                # report the server-side filename like the reference
+                # (Decode_Async_payload 'filename' handling,
+                # pyUSRP/USRP_connections.py:467-469)
+                self.async_srv.send(server_ack(
+                    f'filename "{self.txrx.last_filename}"'))
             self.async_srv.send(server_ack("EOM: end of measurement"))
         return True
 
