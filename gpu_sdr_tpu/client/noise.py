@@ -225,9 +225,14 @@ def effective_sampling_rate(p: AntennaParams) -> float:
 
 
 def calculate_noise(filename, welch=None, dbc=False, rotate=True,
-                    usrp_number=0, ant=None, clip=0.1, n_jobs=None) -> None:
+                    usrp_number=0, ant=None, clip=0.1, n_jobs=None,
+                    backend="scipy") -> None:
     """Per-channel Welch PSDs -> Noise<N>/<ant> group
-    (reference calculate_noise, pyUSRP/USRP_noise.py:706-828)."""
+    (reference calculate_noise, pyUSRP/USRP_noise.py:706-828).
+
+    backend="jax" runs all channels' PSDs as one batched device call
+    (ops/spectral.welch_psd) — the accelerator replacement for the
+    reference's joblib-parallel host Welch."""
     filename = Ufiles.format_filename(filename)
     params = Ufiles.retrieve_params_from_file(filename, usrp_number)
     if ant is None:
@@ -243,10 +248,29 @@ def calculate_noise(filename, welch=None, dbc=False, rotate=True,
         raise ValueError(
             "Cannot evaluate spectra of samples containing errors")
 
-    results = [spec_from_samples(ch, sampling_rate=sampling_rate,
-                                 welch=welch, dbc=dbc, rotate=rotate,
-                                 clip_samples=clip_samples)
-               for ch in data]
+    if backend == "jax":
+        from ..ops.spectral import batched_welch
+        proc = np.array(data, dtype=np.complex128)
+        if rotate:
+            m = np.mean(proc, axis=1, keepdims=True)
+            proc = proc * (np.abs(m) / m)
+        if dbc:
+            m = np.mean(proc, axis=1, keepdims=True)
+            proc = proc / m - 1.0
+        # nperseg from the *unclipped* length (spec_from_samples semantics)
+        L0 = proc.shape[1]
+        nperseg = L0 if welch is None else int(L0 / welch)
+        if clip_samples:
+            proc = proc[:, clip_samples:proc.shape[1] - clip_samples]
+        f, p_re = batched_welch(proc.real, sampling_rate, nperseg)
+        _, p_im = batched_welch(proc.imag, sampling_rate, nperseg)
+        results = [(f, 10 * np.log10(p_re[i]), 10 * np.log10(p_im[i]))
+                   for i in range(len(proc))]
+    else:
+        results = [spec_from_samples(ch, sampling_rate=sampling_rate,
+                                     welch=welch, dbc=dbc, rotate=rotate,
+                                     clip_samples=clip_samples)
+                   for ch in data]
 
     with h5py.File(filename, "r+") as fv:
         ng = fv.require_group(f"Noise{int(usrp_number)}")

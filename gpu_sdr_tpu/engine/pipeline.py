@@ -70,17 +70,25 @@ def run_pipeline(demod: Demodulator, source: Source,
         rows += data.shape[0]
         pkt += 1
 
-    for blk in source.blocks(plan.block_len, nb):
-        state, y = demod.step(state, cplx.from_np(blk))
-        inflight.append((y, int(take_errors())))
-        if len(inflight) > depth:
+    try:
+        for blk in source.blocks(plan.block_len, nb):
+            state, y = demod.step(state, cplx.from_np(blk))
+            inflight.append((y, int(take_errors())))
+            if len(inflight) > depth:
+                drain_one()
+        while inflight:
             drain_one()
-    while inflight:
-        drain_one()
-
-    elapsed = time.perf_counter() - t0
-    for s in sinks:
-        s.on_end()
+    finally:
+        # on interruption (Ctrl-C) still flush what we have and close the
+        # sinks — the reference's keyboard_disconnect path saves the last
+        # chunk (pyUSRP/USRP_connections.py:976-993)
+        elapsed = time.perf_counter() - t0
+        try:
+            while inflight:
+                drain_one()
+        finally:
+            for s in sinks:
+                s.on_end()
     return PipelineResult(n_blocks=nb, rows=rows, channels=demod.n_channels,
                           elapsed_s=elapsed,
                           samples_in=nb * plan.block_len)
