@@ -33,11 +33,13 @@ import sys
 import time
 
 
-def bench_loopback_1000(n_blocks: int = 10,
-                        block_len: int = 24 * 1_048_576):
-    """Defaults: 24 Msample blocks — the per-execution overhead of this
-    rig's relay (~2.7 ms) is amortized; measured scaling:
-    1M: 327 Msps, 8M: 1916, 16M: 1975, 24M: 2434 Msps/chip."""
+def bench_loopback_1000(n_blocks: int = 40,
+                        block_len: int = 8 * 1_048_576,
+                        blocks_per_exec: int = 8):
+    """Defaults: lax.scan chains 8 blocks of 8 Msamples per device
+    execution, amortizing this rig's per-execution relay overhead.
+    Measured scaling (single-block: 1M 327 / 8M 1916 / 24M 2434 Msps;
+    scan-chained 8x8M: ~4600 Msps)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -62,24 +64,32 @@ def bench_loopback_1000(n_blocks: int = 10,
                           block_len=block_len)
     P, Q = tcfg.factors()
     stepv = tcfg.phase_step()
+    K = blocks_per_exec
 
-    @jax.jit
-    def step(ph, spare):
+    def body(carry, _):
+        ph, spare = carry
         ph, x = tone_comb_block(P, Q, stepv, rate, ph)
         spare, frames = pfb_frames(cfg, window, dft, spare, x)
-        return ph, spare, select_tones(frames, bins_arr)
+        y = select_tones(frames, bins_arr)
+        return (ph, spare), y               # real per-block outputs
+
+    @jax.jit
+    def multi(ph, spare):
+        (ph, spare), ys = jax.lax.scan(body, (ph, spare), None, length=K)
+        return ph, spare, ys
 
     ph = tcfg.phase_init()
     spare = pfb_spare_init(cfg)
-    ph, spare, y = step(ph, spare)          # compile + warm up
-    jax.block_until_ready(y)
+    ph, spare, ys = multi(ph, spare)        # compile + warm up
+    jax.block_until_ready(ys)
 
+    n_exec = max(1, n_blocks // K)
     t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        ph, spare, y = step(ph, spare)
-    jax.block_until_ready(y)
+    for _ in range(n_exec):
+        ph, spare, ys = multi(ph, spare)
+    jax.block_until_ready(ys)
     dt = time.perf_counter() - t0
-    return n_blocks * block_len / dt / 1e6
+    return n_exec * K * block_len / dt / 1e6
 
 
 def main():
