@@ -1,0 +1,119 @@
+"""Fused on-device loopback measurements.
+
+When a measurement's source is the synthetic loopback (TX generator feeding
+RX directly — the reference's --sw_loop), the whole chain can live on the
+device: `lax.scan` chains K TX->demod blocks per execution with all
+streaming state carried through the scan, so nothing touches the host until
+the demodulated results come back.  This is the production form of
+bench.py's 40x-baseline configuration.
+
+Supported mode pairs: TONES->DIRECT, TONES->TONES (PFB), TONES->NOISE,
+CHIRP->CHIRP (VNA).  Other combinations fall back to the host-driven path
+(measure.run_measurement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cplx
+from ..params import AntennaParams, WaveType
+from .demodulator import Demodulator, make_demodulator
+from .generator import make_generator
+from .pipeline import PipelineResult
+from .sinks import PacketMeta, Sink
+
+
+@dataclasses.dataclass
+class FusedLoopback:
+    """Compiled K-blocks-per-execution loopback chain."""
+
+    tx: AntennaParams
+    rx: AntennaParams
+    blocks_per_exec: int = 8
+
+    def __post_init__(self):
+        self.demod = make_demodulator(self.rx)
+        self.gen = make_generator(self.tx,
+                                  block_len=self.demod.plan.block_len)
+        K = self.blocks_per_exec
+        gen_step = self.gen.step
+        demod_step = self.demod.step
+
+        def body(carry, _):
+            gstate, dstate = carry
+            gstate, x = gen_step(gstate)
+            dstate, y = demod_step(dstate, x)
+            return (gstate, dstate), y
+
+        @jax.jit
+        def multi(gstate, dstate):
+            (gstate, dstate), ys = jax.lax.scan(
+                body, (gstate, dstate), None, length=K)
+            return gstate, dstate, ys
+
+        self._multi = multi
+
+    def run(self, sinks=(), usrp_number: int = 0,
+            front_end: str = "A") -> PipelineResult:
+        """Stream the full acquisition through the fused chain."""
+        import time
+        plan = self.demod.plan
+        K = self.blocks_per_exec
+        n_exec = max(1, -(-plan.n_blocks // K))
+        for s in sinks:
+            s.on_start(self.demod.n_channels, plan.total_out_rows)
+        gstate = self.gen.init_state()
+        dstate = self.demod.init_state()
+        rows = 0
+        pkt = 0
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n_exec):
+            gstate, dstate, ys = self._multi(gstate, dstate)
+            if pending is not None:
+                rows, pkt = self._drain(pending, sinks, rows, pkt,
+                                        usrp_number, front_end)
+            pending = ys
+        rows, pkt = self._drain(pending, sinks, rows, pkt, usrp_number,
+                                front_end)
+        elapsed = time.perf_counter() - t0
+        for s in sinks:
+            s.on_end()
+        return PipelineResult(n_blocks=n_exec * K, rows=rows,
+                              channels=self.demod.n_channels,
+                              elapsed_s=elapsed,
+                              samples_in=n_exec * K * plan.block_len)
+
+    def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end):
+        data = cplx.to_np(ys)                   # (K, rows_b, C)
+        for k in range(data.shape[0]):
+            d = data[k]
+            meta = PacketMeta(usrp_number=usrp_number,
+                              front_end_code=front_end,
+                              packet_number=pkt, length=int(d.size),
+                              errors=0, channels=int(d.shape[1]))
+            for s in sinks:
+                s.on_packet(meta, d)
+            rows += d.shape[0]
+            pkt += 1
+        return rows, pkt
+
+
+_FUSABLE = {
+    (WaveType.TONES, WaveType.DIRECT),
+    (WaveType.TONES, WaveType.TONES),
+    (WaveType.TONES, WaveType.NOISE),
+    (WaveType.CHIRP, WaveType.CHIRP),
+}
+
+
+def can_fuse(tx: Optional[AntennaParams], rx: AntennaParams) -> bool:
+    if tx is None or not tx.wave_type or not rx.wave_type:
+        return False
+    return (tx.wave_type[0], rx.wave_type[0]) in _FUSABLE

@@ -107,6 +107,25 @@ def run_measurement(params: UsrpParams, filename: Optional[str] = None,
     results = []
     out_name = None
     for rx_name, rx in params.active_antennas(AntMode.RX):
+        # Fast path: ideal loopback with no channel model fuses the whole
+        # TX->demod chain on-device, scan-chained (engine/fused.py)
+        if source is None and channel is None and mesh is None:
+            from .engine.fused import FusedLoopback, can_fuse
+            tx_name = _pair_tx(params, rx_name)
+            tx = params.antenna(tx_name) if tx_name else None
+            if tx is not None and can_fuse(tx, rx) and \
+                    rx.delay <= tx.delay:
+                sinks = list(extra_sinks)
+                if filename is not None:
+                    h5 = H5Sink(filename, params, ant_name=rx_name,
+                                trigger=trigger, **tags)
+                    sinks.append(h5)
+                    out_name = h5.filename
+                fused = FusedLoopback(tx, rx)
+                res = fused.run(sinks, usrp_number=params.usrp_number,
+                                front_end=rx_name[0])
+                results.append(res)
+                continue
         demod = make_demodulator(rx, mesh=mesh)
         if source is not None:
             src = source

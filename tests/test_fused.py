@@ -1,0 +1,67 @@
+"""Fused on-device loopback chain: must produce the same results as the
+host-driven pipeline for every fusable mode pair."""
+
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu.engine import make_demodulator, make_generator, run_pipeline
+from gpu_sdr_tpu.engine.fused import FusedLoopback, can_fuse
+from gpu_sdr_tpu.engine.sinks import MemorySink
+from gpu_sdr_tpu.engine.sources import LoopbackSource
+from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+
+def _pair(wave_rx, rx_extra, n_tones=3, rate=1_000_000, samples=400_000):
+    freqs = [int(f) for f in np.linspace(-300_000, 300_000, n_tones)]
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=100_000,
+                       samples=samples, freq=freqs,
+                       ampl=[1.0 / n_tones] * n_tones,
+                       wave_type=[WaveType.TONES] * n_tones, delay=1.0)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=100_000,
+                       samples=samples, freq=freqs,
+                       wave_type=[wave_rx] * n_tones, delay=1.0,
+                       **rx_extra)
+    return tx, rx
+
+
+@pytest.mark.parametrize("wave_rx,rx_extra", [
+    (WaveType.DIRECT, dict(decim=100, pf_average=4)),
+    (WaveType.TONES, dict(fft_tones=50, pf_average=4)),
+    (WaveType.NOISE, dict(fft_tones=50, pf_average=4)),
+])
+def test_fused_matches_host_pipeline(wave_rx, rx_extra):
+    tx, rx = _pair(wave_rx, rx_extra)
+    assert can_fuse(tx, rx)
+
+    fused = FusedLoopback(tx, rx, blocks_per_exec=2)
+    sink_f = MemorySink()
+    res = fused.run([sink_f])
+
+    demod = make_demodulator(rx)
+    gen = make_generator(tx, block_len=demod.plan.block_len)
+    sink_h = MemorySink()
+    run_pipeline(demod, LoopbackSource(gen), [sink_h])
+
+    a, b = sink_f.data, sink_h.data
+    n = min(len(a), len(b))
+    assert n > 0
+    assert np.allclose(a[:n], b[:n], atol=1e-5), \
+        f"fused vs host mismatch for {wave_rx}"
+
+
+def test_fused_vna_chirp():
+    rate = 1_000_000
+    p = dict(rate=rate, buffer_len=100_000, samples=400_000,
+             freq=[-300_000], chirp_f=[300_000], chirp_t=[0.1],
+             swipe_s=[1000], delay=1.0)
+    tx = AntennaParams(mode=AntMode.TX, ampl=[1.0],
+                       wave_type=[WaveType.CHIRP], **p)
+    rx = AntennaParams(mode=AntMode.RX, decim=1,
+                       wave_type=[WaveType.CHIRP], **p)
+    assert can_fuse(tx, rx)
+    fused = FusedLoopback(tx, rx, blocks_per_exec=2)
+    sink = MemorySink()
+    fused.run([sink])
+    s21 = sink.data[:, 0]
+    assert np.allclose(s21.real, 1.0, atol=1e-4)
+    assert np.allclose(s21.imag, 0.0, atol=1e-4)
