@@ -14,7 +14,7 @@ import numpy as np
 
 from ..params import AntennaParams, AntMode, UsrpParams, WaveType
 from .delay import LINE_DELAY
-from .noise import USRP_accepted_rates, pfb_bins_for_tones
+from .noise import pfb_bins_for_tones
 
 
 def _timestamp() -> str:

@@ -19,14 +19,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import cplx
 from ..params import AntennaParams, WaveType
-from .demodulator import Demodulator, make_demodulator
+from .demodulator import make_demodulator
 from .generator import make_generator
 from .pipeline import PipelineResult
-from .sinks import PacketMeta, Sink
+from .sinks import PacketMeta
 
 
 @dataclasses.dataclass

@@ -18,13 +18,11 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..params import AntennaParams, WaveType, chirp_steps_and_length
 from ..ops import chirp as chirp_ops
 from ..ops import cplx
 from ..ops import tonegen as tone_ops
-from .planner import BlockPlan, plan_blocks
 
 
 @dataclasses.dataclass

@@ -15,13 +15,12 @@ from __future__ import annotations
 import collections
 import dataclasses
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
-import numpy as np
 
 from ..ops import cplx
 from .demodulator import Demodulator
-from .sinks import PacketMeta, Sink, MemorySink
+from .sinks import PacketMeta, Sink
 from .sources import Source
 
 

@@ -10,12 +10,10 @@ like the reference's in-process loop queue.
 
 from __future__ import annotations
 
-import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
-from ..ops import cplx
 from .generator import Generator
 
 

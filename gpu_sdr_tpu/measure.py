@@ -20,10 +20,9 @@ import numpy as np
 
 from .engine import make_demodulator, make_generator, run_pipeline
 from .engine.channel import Channel, IdealChannel
-from .engine.pipeline import PipelineResult
 from .engine.sinks import Sink
-from .engine.sources import LoopbackSource, Source, WhiteNoiseSource
-from .params import AntennaParams, AntMode, UsrpParams, WaveType
+from .engine.sources import Source, WhiteNoiseSource
+from .params import AntMode, UsrpParams
 
 
 class ChannelSource(Source):

@@ -14,7 +14,6 @@ cpp/USRP_server_memory_management.cpp:30-56).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import cplx

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import golden
-from . import cplx
 from .chirp import ChirpConfig
 from .cplx import C
 

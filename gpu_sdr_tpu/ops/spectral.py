@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import cplx
 from .cplx import C, DFT
 
 
