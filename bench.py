@@ -29,8 +29,23 @@ chain is the honest per-chip DSP throughput.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: compiles on this rig take minutes, so
+    cache across processes when the backend supports it."""
+    try:
+        import jax
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/jax_bench"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def bench_loopback_1000(n_blocks: int = 40,
@@ -94,6 +109,7 @@ def bench_loopback_1000(n_blocks: int = 40,
 
 def main():
     try:
+        _enable_compile_cache()
         msps = bench_loopback_1000()
         print(json.dumps({
             "metric": "1000-tone synth+PFB channelizer chain throughput",

@@ -249,6 +249,55 @@ def plot_frequency_timestreams(filenames, decimation=None,
                          start_time=start_time, end_time=end_time)
 
 
+def plot_reso_stat(filenames, reso_freq=None, backend="matplotlib",
+                   title_info=None, additional_info=None,
+                   output_filename=None, auto_open=False,
+                   attr=None, **kwargs) -> str:
+    """Resonator fit parameters vs readout power (or a custom raw_data0
+    attribute).  The reference declares this function but leaves it empty
+    (plot_reso_stat, pyUSRP/USRP_fitting.py:1206-1226); implemented here:
+    one panel per parameter (Qr, Qi, f0 shift, a), one line per resonator.
+    """
+    from .files import get_readout_power, retrieve_params_from_file
+
+    if isinstance(filenames, str):
+        filenames = [filenames]
+    points = {}          # reso index -> list of (x, params)
+    for fn in filenames:
+        params = get_fit_param(fn)
+        for i, p in enumerate(params):
+            if attr is not None:
+                with Ufiles.bound_open(fn) as f:
+                    x = f["raw_data0"].attrs.get(attr)
+            else:
+                try:
+                    x = get_readout_power(fn, i)
+                except (IndexError, KeyError):
+                    x = 0.0
+            points.setdefault(i, []).append((float(x), p))
+    fig, axes = pl.subplots(nrows=2, ncols=2, figsize=(11, 8))
+    panels = [("Qr", lambda p: p["Qr"]),
+              ("Qi", lambda p: p["Qi"]),
+              ("f0 [MHz]", lambda p: p["f0"]),
+              ("a (nonlinearity)", lambda p: p["a"])]
+    for ax, (label, getter) in zip(axes.flat, panels):
+        for i, series in sorted(points.items()):
+            series = sorted(series)
+            xs = [s[0] for s in series]
+            ys = [getter(s[1]) for s in series]
+            ax.plot(xs, ys, "o-", color=get_color(i), label=f"reso {i}")
+        ax.set_xlabel(attr if attr else "readout power [dBm]")
+        ax.set_ylabel(label)
+        ax.grid()
+    axes.flat[0].legend(fontsize=7)
+    if title_info:
+        fig.suptitle(title_info)
+    out = _out_name(output_filename, "USRP_reso_stat")
+    fig.savefig(out, bbox_inches="tight")
+    pl.close(fig)
+    return out
+
+
 def diagnostic_VNA_noise(noise_filename, vna_filename=None, ant=None,
                          backend="matplotlib", output_filename=None,
                          auto_open=False, **kwargs) -> str:

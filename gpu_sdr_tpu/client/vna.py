@@ -242,3 +242,30 @@ def is_VNA_analyzed(filename: str, usrp_number: int = 0) -> bool:
 def get_VNA_data(filename: str, calibrated: bool = True,
                  usrp_number: int = 0):
     return Ufiles.get_VNA_data(filename, calibrated, usrp_number)
+
+
+def is_VNA_dynamic_analyzed(filename: str, usrp_number: int = 0) -> bool:
+    """Check for the VNA_dynamic group (reference is_VNA_dynamic_analyzed,
+    pyUSRP/USRP_files.py:1160-1181)."""
+    with Ufiles.bound_open(filename) as f:
+        try:
+            grp = f[f"VNA_dynamic_{int(usrp_number)}"]
+            return grp["frequency"] is not None and grp["S21"] is not None
+        except KeyError:
+            return False
+
+
+def get_dynamic_VNA_data(filename: str, calibrated: bool = True,
+                         usrp_number: int = 0):
+    """(frequency, S21 traces) from a dynamic-analyzed VNA file
+    (reference get_dynamic_VNA_data, pyUSRP/USRP_files.py:1086-1111)."""
+    if not is_VNA_dynamic_analyzed(filename, usrp_number):
+        raise ValueError(
+            f"file {filename} has no analyzed VNA_dynamic group")
+    with Ufiles.bound_open(filename) as f:
+        grp = f[f"VNA_dynamic_{int(usrp_number)}"]
+        freq = np.asarray(grp["frequency"])
+        s21 = np.asarray(grp["S21"])
+        if calibrated and "calibration" in grp.attrs:
+            s21 = s21 * grp.attrs.get("calibration")[0]
+        return freq, s21

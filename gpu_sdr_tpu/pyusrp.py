@@ -129,6 +129,108 @@ from .client.plotting import get_color, plot_raw_data  # noqa: F401,E402
 # --- data analysis ----------------------------------------------------
 from .client.data_analysis import linear_phase  # noqa: F401,E402
 
+# --- remaining low-level / wire compat names --------------------------
+import contextlib as _contextlib  # noqa: E402
+import sys as _sys  # noqa: E402
+
+import numpy as _np  # noqa: E402
+
+from .client.files import get_receivers, get_trigger_info  # noqa: F401,E402
+from .client.fitting import FWMH, complex_of_real, real_of_complex  # noqa: F401,E402
+from .client.vna import get_dynamic_VNA_data, is_VNA_dynamic_analyzed  # noqa: F401,E402
+from .client.plotting import plot_reso_stat  # noqa: F401,E402
+from .server.wire import (decode_async_header as Decode_Async_header,  # noqa: F401,E402
+                          decode_sync_header as Decode_Sync_Header,
+                          encode_async_message as Encode_async_message)
+
+
+def average_tones_diff(tones_original, tones_quantized):
+    """Mean |quantization error| (reference USRP_low_level.py:249-259)."""
+    if len(tones_original) != len(tones_quantized):
+        raise TypeError("Quantized tones and tones differ in length")
+    return float(_np.mean(_np.abs(_np.asarray(tones_original) -
+                                  _np.asarray(tones_quantized))))
+
+
+def to_list_of_str(user_input):
+    """Coerce a string to a one-element list (reference
+    USRP_low_level.py:136-161)."""
+    return [user_input] if isinstance(user_input, str) else list(user_input)
+
+
+def print_line(msg):
+    _sys.stdout.write(str(msg))
+    _sys.stdout.flush()
+
+
+@_contextlib.contextmanager
+def nostdout():
+    """Silence stdout within a context (reference USRP_low_level.py:122)."""
+    import io
+    saved = _sys.stdout
+    _sys.stdout = io.StringIO()
+    try:
+        yield
+    finally:
+        _sys.stdout = saved
+
+
+def Device_chk(device):
+    """Accept any device number, defaulting to 0 (reference Device_chk,
+    pyUSRP/USRP_files.py:912-927)."""
+    return True
+
+
+def Front_end_chk(front_end):
+    """Front-end code must be 'A' or 'B' (reference Front_end_chk)."""
+    return front_end in ("A", "B")
+
+
+# The reference exposes its receiver-thread plumbing (Start/Stop_Async_RX,
+# Start/Stop_Sync_RX, Wait_for_*_connection) because its sockets are module
+# globals; here the Connection object owns its threads, so these are
+# no-op compatibility shims that succeed whenever a connection exists.
+def Start_Async_RX(*a, **k):
+    return True
+
+
+def Start_Sync_RX(*a, **k):
+    return True
+
+
+def Stop_Async_RX(*a, **k):
+    return True
+
+
+def Stop_Sync_RX(*a, **k):
+    return True
+
+
+def Wait_for_async_connection(timeout=None, **k):
+    return _connections._global_connection is not None
+
+
+def Wait_for_sync_connection(timeout=None, **k):
+    return _connections._global_connection is not None
+
+
+# reference declares these NEF helpers but leaves them empty
+# (pyUSRP/USRP_noise.py:1660-1669); kept for name compatibility
+def calculate_NEF_spectra(*args, **kwargs):
+    raise NotImplementedError(
+        "NEF spectra are an empty stub in the reference as well")
+
+
+def get_NEF_spec(*args, **kwargs):
+    raise NotImplementedError(
+        "NEF spectra are an empty stub in the reference as well")
+
+
+def plot_NEF_spectra(*args, **kwargs):
+    raise NotImplementedError(
+        "NEF spectra are an empty stub in the reference as well")
+
+
 # --- engine extensions (no reference equivalent) ----------------------
 from .engine.channel import (ChainChannel, DelayChannel,  # noqa: F401,E402
                              FrequencyResponseChannel, IdealChannel,
