@@ -18,3 +18,5 @@ from .planner import BlockPlan, plan_blocks  # noqa: F401
 from .demodulator import make_demodulator, Demodulator  # noqa: F401
 from .generator import make_generator, Generator  # noqa: F401
 from .pipeline import run_pipeline, PipelineResult  # noqa: F401
+from .checkpoint import save_state, load_state  # noqa: F401
+from .fused import FusedLoopback, can_fuse  # noqa: F401
