@@ -209,9 +209,15 @@ def _build_noise_sharded(p: AntennaParams, plan: BlockPlan,
     cfg = pfb_ops.PFBConfig(nfft=int(p.fft_tones), avg=int(p.pf_average),
                             rate=int(p.rate))
     sp = ShardedPFB(cfg, mesh, plan.block_len)
+    decim = int(p.decim)
 
     def step(state, x):
-        return sp.step(state, x)
+        state, frames = sp.step(state, x)
+        if decim > 0:
+            # frame averaging; the mesh-adjusted plan guarantees each time
+            # shard holds a whole number of decim-groups
+            frames = pfb_ops.average_frames(frames, decim)
+        return state, frames
 
     return Demodulator(plan=plan, n_channels=int(p.fft_tones),
                        init_state=sp.init_state, step=step,
