@@ -48,13 +48,13 @@ def _enable_compile_cache():
         pass
 
 
-def bench_loopback_1000(n_blocks: int = 256,
+def bench_loopback_1000(n_blocks: int = 384,
                         block_len: int = 4 * 1_048_576,
-                        blocks_per_exec: int = 64):
-    """Defaults: lax.scan chains 64 blocks of 4 Msamples per device
+                        blocks_per_exec: int = 128):
+    """Defaults: lax.scan chains 128 blocks of 4 Msamples per device
     execution, amortizing this rig's per-execution relay overhead.
     Measured scaling (single-block: 1M 327 / 24M 2434 Msps; scan-chained
-    8x8M 4087 / 32x4M 5958 / 64x4M 7236 Msps)."""
+    32x4M 5958 / 64x4M 7236 / 128x4M 8015 / 256x4M 7351 Msps)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
