@@ -25,6 +25,9 @@ def make_hamming_window(length: int, side: int = 0) -> np.ndarray:
     (reference make_hamming_window, cpp/kernels.cu:107-206)."""
     win = np.zeros(length, dtype=np.float64)
     n = length - side
+    if n <= 1:
+        win[side:] = 1.0
+        return win / max(win.sum(), 1.0)
     i = np.arange(n, dtype=np.float64)
     body = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (n - 1))
     win[side:side + n] = body
@@ -46,7 +49,12 @@ def make_flat_window(length: int, side: int) -> np.ndarray:
 
 def make_sinc_window(length: int, fc: float) -> np.ndarray:
     """Hamming-windowed sinc low-pass prototype, normalized to unit sum
-    (reference make_sinc_window, cpp/kernels.cu:256-310)."""
+    (reference make_sinc_window, cpp/kernels.cu:256-310).
+
+    length == 1 degenerates to a unit tap (the reference's formula divides
+    by length-1 and would produce NaN)."""
+    if length == 1:
+        return np.ones(1, dtype=np.float64)
     i = np.arange(length, dtype=np.float64)
     k = i - (length - 1) // 2          # integer center, as in the reference
     x = 2.0 * np.pi * fc * k
