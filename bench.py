@@ -110,6 +110,8 @@ def bench_loopback_1000(n_blocks: int = 384,
 def main():
     try:
         _enable_compile_cache()
+        from gpu_sdr_tpu.config import configure_precision
+        configure_precision()
         msps = bench_loopback_1000()
         print(json.dumps({
             "metric": "1000-tone synth+PFB channelizer chain throughput",

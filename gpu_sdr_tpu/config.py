@@ -1,0 +1,35 @@
+"""Runtime configuration knobs.
+
+Matmul precision: TPU lowers float32 matmuls to bfloat16 passes.  The JAX
+defaults to a single bf16 pass, which measures ~49 dB SNR on the DSP chain
+— an artificial noise floor a readout instrument cannot accept.  This
+framework therefore defaults to 'tensorfloat32' (3 bf16 passes, ~93 dB on
+the chain); set GPU_SDR_TPU_MATMUL_PRECISION to 'float32' (6 passes,
+~133 dB, half the speed) or 'bfloat16' (fastest, survey-grade only).
+
+Measured on one v5e chip (1000-tone synth+PFB chain, 32x4M scan):
+  bfloat16        48.7 dB   5958 Msps
+  tensorfloat32   92.8 dB   3407 Msps
+  float32        133.3 dB   2009 Msps
+"""
+
+from __future__ import annotations
+
+import os
+
+_applied = False
+
+
+def configure_precision(precision: str | None = None, force: bool = False):
+    """Set the global matmul precision (idempotent unless force=True)."""
+    global _applied
+    if _applied and not force:
+        return
+    import jax
+    p = precision or os.environ.get("GPU_SDR_TPU_MATMUL_PRECISION",
+                                    "tensorfloat32")
+    try:
+        jax.config.update("jax_default_matmul_precision", p)
+        _applied = True
+    except Exception:
+        pass

@@ -101,7 +101,9 @@ def run_measurement(params: UsrpParams, filename: Optional[str] = None,
     returns the filename; with filename=None only `extra_sinks` receive data.
     """
     from .client.files import H5Sink
+    from .config import configure_precision
 
+    configure_precision()
     params.validate()
     results = []
     out_name = None

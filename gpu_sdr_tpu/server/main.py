@@ -139,6 +139,8 @@ class Server:
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
+    from ..config import configure_precision
+    configure_precision()
     init_logger()
     log.info("server starting (sw_loop=%s replay=%s)", args.sw_loop,
              args.replay)
