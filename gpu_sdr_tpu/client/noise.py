@@ -213,6 +213,19 @@ def spec_from_samples(samples, sampling_rate=1, welch=None, dbc=False,
     return f, 10 * np.log10(re), 10 * np.log10(im)
 
 
+def expected_samples_per_channel_file(filename, usrp_number=0, ant=None):
+    """Per-channel sample count actually stored in a file."""
+    import h5py
+    with h5py.File(Ufiles.format_filename(filename), "r") as f:
+        group = f[f"raw_data{int(usrp_number)}"]
+        recv = Ufiles.get_receivers(group)
+        sub = group[ant if ant is not None else recv[0]]
+        if "data" in sub:
+            return int(sub["data"].attrs.get("samples",
+                                             sub["data"].shape[1]))
+        return None
+
+
 def effective_sampling_rate(p: AntennaParams) -> float:
     """Output rate of the demodulated stream (calculate_noise rate logic,
     USRP_noise.py:740-755)."""
@@ -241,6 +254,11 @@ def calculate_noise(filename, welch=None, dbc=False, rotate=True,
     p = params.antenna(ant)
     sampling_rate = effective_sampling_rate(p)
     clip_samples = int(clip * sampling_rate) if clip else False
+    n_avail = expected_samples_per_channel_file(filename, usrp_number, ant)
+    if clip_samples and n_avail and clip_samples * 2 >= n_avail:
+        # short acquisition: clipping 2*clip seconds would consume all the
+        # data (the reference errors out here); keep at least half
+        clip_samples = max(0, n_avail // 4)
 
     data, errors = Ufiles.openH5file(filename, usrp_number=usrp_number,
                                      front_end=ant, error_coord=True)
