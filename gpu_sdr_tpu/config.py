@@ -21,7 +21,8 @@ _applied = False
 
 
 def configure_precision(precision: str | None = None, force: bool = False):
-    """Set the global matmul precision (idempotent unless force=True)."""
+    """Set the global matmul precision and enable the persistent
+    compilation cache (idempotent unless force=True)."""
     global _applied
     if _applied and not force:
         return
@@ -30,6 +31,12 @@ def configure_precision(precision: str | None = None, force: bool = False):
                                     "tensorfloat32")
     try:
         jax.config.update("jax_default_matmul_precision", p)
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/gpu_sdr_tpu_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _applied = True
     except Exception:
         pass
