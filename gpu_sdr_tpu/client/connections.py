@@ -139,14 +139,17 @@ class Connection:
 def Packets_to_file(conn: Connection, parameters: UsrpParams,
                     filename: str, timeout: Optional[float] = None,
                     trigger=None, push_queue=None, meas_type: str = "data",
+                    dpc_expected: Optional[int] = None, progress: bool = True,
                     **tags) -> str:
     """Consume the data queue into a reference-layout H5 file until the
     server's EOM (reference Packets_to_file,
-    pyUSRP/USRP_connections.py:89-347)."""
-    import h5py
+    pyUSRP/USRP_connections.py:89-347).  With `dpc_expected` (expected
+    data points per channel) a percent progress line is printed, the role
+    of the reference's progressbar (USRP_connections.py:266-273)."""
+    import sys as _sys
 
-    from ..params import AntMode
-    from .files import H5Sink
+    from ..params import AntMode, WaveType
+    from .files import H5Sink, expected_data_len
     from ..engine.sinks import PacketMeta
 
     rx_names = [n for n, _ in parameters.active_antennas(AntMode.RX)]
@@ -154,8 +157,15 @@ def Packets_to_file(conn: Connection, parameters: UsrpParams,
     for rx in rx_names:
         sinks[rx] = H5Sink(filename, parameters, ant_name=rx,
                            trigger=trigger, meas_type=meas_type, **tags)
+    if dpc_expected is None and rx_names:
+        try:
+            dpc_expected = expected_data_len(
+                parameters.antenna(rx_names[0]))
+        except (IndexError, ZeroDivisionError):
+            dpc_expected = None
 
-    idle_timeout = timeout if timeout is not None else 5.0
+    received_rows = 0
+    last_pct = -10
     try:
         while True:
             try:
@@ -164,6 +174,13 @@ def Packets_to_file(conn: Connection, parameters: UsrpParams,
                 if conn.end_of_measure.is_set():
                     break
                 continue
+            if progress and dpc_expected:
+                received_rows += meta["length"] // max(1, meta["channels"])
+                pct = min(100, int(100 * received_rows / dpc_expected))
+                if pct >= last_pct + 10:
+                    _sys.stdout.write(f"\racquisition {pct:3d}%")
+                    _sys.stdout.flush()
+                    last_pct = pct
             ant = meta["front_end_code"]
             sink = sinks.get(ant) or next(iter(sinks.values()))
             channels = max(1, meta["channels"])
@@ -178,6 +195,9 @@ def Packets_to_file(conn: Connection, parameters: UsrpParams,
             if push_queue is not None:
                 push_queue.put((meta, data))
     finally:
+        if progress and dpc_expected and last_pct >= 0:
+            import sys as _sys2
+            _sys2.stdout.write("\n")
         for s in sinks.values():
             s.on_end()
     if conn.error_status.is_set():
