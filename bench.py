@@ -48,14 +48,14 @@ def _enable_compile_cache():
         pass
 
 
-def bench_loopback_1000(n_blocks: int = 384,
+def bench_loopback_1000(n_blocks: int = 256,
                         block_len: int = 4 * 1_048_576,
-                        blocks_per_exec: int = 128):
-    """Defaults: lax.scan chains 128 blocks of 4 Msamples per device
+                        blocks_per_exec: int = 64):
+    """Defaults: lax.scan chains 64 blocks of 4 Msamples per device
     execution, amortizing this rig's per-execution relay overhead.
-    K-sweep at bf16 matmul precision: 32x4M 5958 / 64x4M 7236 /
-    128x4M 8015 / 256x4M 7351 Msps; at the framework's tensorfloat32
-    default (92.8 dB chain SNR) 128x4M measures 3870 Msps."""
+    K-sweep at the framework's tensorfloat32 default (92.8 dB chain
+    SNR): 64x4M 3954 / 128x4M 3870 / 256x4M 3741 Msps (raw-bf16 peak
+    8015 Msps at 128x4M, 48.7 dB)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
