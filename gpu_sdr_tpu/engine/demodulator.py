@@ -105,7 +105,8 @@ def _build_pfb(p: AntennaParams, plan: BlockPlan,
     cfg = pfb_ops.PFBConfig(nfft=nfft, avg=avg, rate=int(p.rate),
                             bins=bins, decim=int(p.decim))
     window = cfg.window()
-    dft = cfg.dft()
+    # two-stage DFT wins at the tf32 matmul default for larger banks
+    dft = cfg.dft(two_stage=True if nfft >= 512 else None)
     bins_arr = cfg.bins_array()
     decim = int(p.decim)
 

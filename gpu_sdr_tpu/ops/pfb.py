@@ -54,9 +54,14 @@ class PFBConfig:
         return jnp.asarray(pfb_window(self.nfft, self.avg, dtype=np.float32),
                            dtype=dtype)
 
-    def dft(self) -> DFT:
-        """The batched DFT replacing cuFFT (see cplx.DFT)."""
-        return DFT(self.nfft)
+    def dft(self, two_stage: bool | None = None) -> DFT:
+        """The batched DFT replacing cuFFT (see cplx.DFT).
+
+        two_stage=None -> auto (dense below cplx._TWO_STAGE_MIN).  At the
+        tensorfloat32 matmul default the two-stage split is ~20% faster at
+        nfft=1024 (fewer matmul passes) with comparable SNR; pass
+        two_stage=True to select it explicitly."""
+        return DFT(self.nfft, two_stage=two_stage)
 
     def bins_array(self) -> Optional[jax.Array]:
         if self.bins is None:
