@@ -133,6 +133,32 @@ class AntennaParams:
             return float(self.rate)
         return float(self.rate)
 
+    def get_output_buffer_size(self) -> int:
+        """Maximum output samples per transport block (reference
+        param::get_output_buffer_size, USRP_server_settings.hpp:163)."""
+        L = self.buffer_len or DEFAULT_BUFFER_LEN
+        w = self.wave_type[0] if self.wave_type else WaveType.NODSP
+        if w == WaveType.DIRECT:
+            n = L * max(1, self.n_channels())
+            return n // max(int(self.decim), 1)
+        if w in (WaveType.TONES, WaveType.NOISE):
+            per_frame = (self.n_channels() if w == WaveType.TONES
+                         else max(int(self.fft_tones), 1))
+            frames = L // max(int(self.fft_tones), 1)
+            if self.decim > 0:
+                frames //= self.decim
+            return per_frame * frames
+        if w == WaveType.CHIRP and self.decim > 0:
+            steps, length = chirp_steps_and_length(self)
+            return max(1, L // (length * self.decim))
+        return L
+
+    def dynamic_buffer(self) -> bool:
+        """True when TX blocks must be generated per-block rather than
+        served from a precomputed table (reference param::dynamic_buffer:
+        only TONES uses the static wavetable)."""
+        return any(w != WaveType.TONES for w in self.wave_type)
+
     # ------------------------------------------------------------------
     def to_json_dict(self) -> dict:
         """Serialize with the reference wire key names
