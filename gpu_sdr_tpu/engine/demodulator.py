@@ -202,6 +202,33 @@ def _build_direct_sharded(p: AntennaParams, plan: BlockPlan,
                        wave_type=WaveType.DIRECT)
 
 
+def _build_tones_sharded(p: AntennaParams, plan: BlockPlan,
+                         mesh) -> Demodulator:
+    """TONES over a (time, channels) mesh: the sharded PFB computes the
+    column-sharded spectrum, then tone selection is a gather on the sharded
+    frames (XLA inserts the collective; the selected-tone set is tiny
+    compared to the spectrum, so the gather traffic is negligible)."""
+    from ..parallel.sharded_pfb import ShardedPFB
+    nfft = int(p.fft_tones)
+    plan = _mesh_plan(plan, mesh, max(1, int(p.decim)))
+    bins = pfb_ops.tone_bins(p.freq, p.rate, nfft)
+    bins_arr = jnp.asarray(np.asarray(bins, np.int32))
+    cfg = pfb_ops.PFBConfig(nfft=nfft, avg=int(p.pf_average),
+                            rate=int(p.rate))
+    sp = ShardedPFB(cfg, mesh, plan.block_len)
+    decim = int(p.decim)
+
+    def step(state, x):
+        state, frames = sp.step(state, x)
+        if decim > 0:
+            frames = pfb_ops.average_frames(frames, decim)
+        return state, pfb_ops.select_tones(frames, bins_arr)
+
+    return Demodulator(plan=plan, n_channels=len(bins),
+                       init_state=sp.init_state, step=step,
+                       wave_type=WaveType.TONES)
+
+
 def _build_noise_sharded(p: AntennaParams, plan: BlockPlan,
                          mesh) -> Demodulator:
     """NOISE (full-spectrum PFB) over a (time, channels) mesh."""
@@ -243,6 +270,8 @@ def make_demodulator(p: AntennaParams, samples: int | None = None,
             return _build_direct_sharded(p, plan, mesh)
         if w == WaveType.NOISE:
             return _build_noise_sharded(p, plan, mesh)
+        if w == WaveType.TONES:
+            return _build_tones_sharded(p, plan, mesh)
         raise NotImplementedError(
             f"sharded demodulation for {w} not implemented yet")
     if w == WaveType.DIRECT:
