@@ -229,6 +229,30 @@ def _build_tones_sharded(p: AntennaParams, plan: BlockPlan,
                        wave_type=WaveType.TONES)
 
 
+def _build_chirp_sharded(p: AntennaParams, plan: BlockPlan,
+                         mesh) -> Demodulator:
+    """CHIRP lock-in over a time mesh (no halo needed: the mix-down is
+    elementwise and lock-in segments are shard-local)."""
+    from ..parallel.sharded_chirp import ShardedChirpLockin
+    if p.decim <= 0:
+        raise NotImplementedError(
+            "sharded CHIRP requires lock-in decimation (decim >= 1)")
+    steps, length = chirp_steps_and_length(p)
+    cfg = chirp_ops.ChirpConfig.from_params(
+        p.freq[0], p.chirp_f[0], int(p.rate), steps, p.chirp_t[0])
+    ppt = length * int(p.decim)
+    plan = _mesh_plan(plan, mesh, 1)
+    sc = ShardedChirpLockin(cfg, mesh, plan.block_len, ppt)
+
+    def step(state, x):
+        state, y = sc.step(state, x)
+        return state, C(y.re[:, None], y.im[:, None])
+
+    return Demodulator(plan=plan, n_channels=1,
+                       init_state=sc.init_state, step=step,
+                       wave_type=WaveType.CHIRP)
+
+
 def _build_noise_sharded(p: AntennaParams, plan: BlockPlan,
                          mesh) -> Demodulator:
     """NOISE (full-spectrum PFB) over a (time, channels) mesh."""
@@ -272,6 +296,8 @@ def make_demodulator(p: AntennaParams, samples: int | None = None,
             return _build_noise_sharded(p, plan, mesh)
         if w == WaveType.TONES:
             return _build_tones_sharded(p, plan, mesh)
+        if w == WaveType.CHIRP:
+            return _build_chirp_sharded(p, plan, mesh)
         raise NotImplementedError(
             f"sharded demodulation for {w} not implemented yet")
     if w == WaveType.DIRECT:
