@@ -20,6 +20,36 @@ import os
 _applied = False
 
 
+class maybe_profile:
+    """Context manager: jax.profiler trace when GPU_SDR_TPU_PROFILE is set
+    to a directory (the first-class tracing the reference lacked —
+    SURVEY.md section 5)."""
+
+    def __init__(self, tag: str = "run"):
+        self.dir = os.environ.get("GPU_SDR_TPU_PROFILE")
+        self.tag = tag
+        self._cm = None
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+            try:
+                self._cm = jax.profiler.trace(
+                    os.path.join(self.dir, self.tag))
+                self._cm.__enter__()
+            except Exception:
+                self._cm = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            try:
+                self._cm.__exit__(*exc)
+            except Exception:
+                pass
+        return False
+
+
 def configure_precision(precision: str | None = None, force: bool = False):
     """Set the global matmul precision and enable the persistent
     compilation cache (idempotent unless force=True)."""

@@ -101,10 +101,22 @@ def run_measurement(params: UsrpParams, filename: Optional[str] = None,
     returns the filename; with filename=None only `extra_sinks` receive data.
     """
     from .client.files import H5Sink
-    from .config import configure_precision
+    from .config import configure_precision, maybe_profile
 
     configure_precision()
     params.validate()
+    _profile_cm = maybe_profile("measurement")
+    _profile_cm.__enter__()
+    try:
+        return _run_measurement_inner(params, filename, channel, source,
+                                      extra_sinks, trigger, mesh, tags,
+                                      H5Sink)
+    finally:
+        _profile_cm.__exit__(None, None, None)
+
+
+def _run_measurement_inner(params, filename, channel, source, extra_sinks,
+                           trigger, mesh, tags, H5Sink):
     results = []
     out_name = None
     for rx_name, rx in params.active_antennas(AntMode.RX):
