@@ -148,7 +148,7 @@ def Packets_to_file(conn: Connection, parameters: UsrpParams,
     of the reference's progressbar (USRP_connections.py:266-273)."""
     import sys as _sys
 
-    from ..params import AntMode, WaveType
+    from ..params import AntMode
     from .files import H5Sink, expected_data_len
     from ..engine.sinks import PacketMeta
 

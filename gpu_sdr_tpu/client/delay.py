@@ -13,8 +13,6 @@ from __future__ import annotations
 import datetime
 import glob
 import os
-from typing import Optional
-
 import h5py
 import numpy as np
 from scipy import signal

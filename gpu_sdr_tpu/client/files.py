@@ -12,7 +12,7 @@ pyUSRP-style tooling and vice versa.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import h5py
 import numpy as np

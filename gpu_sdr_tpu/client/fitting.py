@@ -10,7 +10,7 @@ fit-and-filter initializer (initialize_peaks, :380-586), and vna_fit
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import h5py
 import numpy as np

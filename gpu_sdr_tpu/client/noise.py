@@ -11,8 +11,6 @@ with per-tone attributes (USRP_noise.py:706-828).
 from __future__ import annotations
 
 import datetime
-from typing import List, Optional, Sequence
-
 import h5py
 import numpy as np
 from scipy import signal

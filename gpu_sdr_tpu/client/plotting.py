@@ -9,8 +9,6 @@ filename(s).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
-
 import numpy as np
 
 import matplotlib
@@ -113,7 +111,6 @@ def VNA_timestream_plot(filename, output_filename=None, backend="matplotlib",
                         **kwargs) -> str:
     """Waterfall of per-iteration VNA sweeps (reference VNA_timestream_plot,
     pyUSRP/USRP_VNA.py:563-680)."""
-    import h5py
     with Ufiles.bound_open(filename) as f:
         grp = f["VNA_dynamic_0"]
         freq = np.asarray(grp["frequency"])
@@ -258,7 +255,7 @@ def plot_reso_stat(filenames, reso_freq=None, backend="matplotlib",
     (plot_reso_stat, pyUSRP/USRP_fitting.py:1206-1226); implemented here:
     one panel per parameter (Qr, Qi, f0 shift, a), one line per resonator.
     """
-    from .files import get_readout_power, retrieve_params_from_file
+    from .files import get_readout_power
 
     if isinstance(filenames, str):
         filenames = [filenames]

@@ -16,7 +16,7 @@ extend it with physical channel models applied host-side to the TX stream:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

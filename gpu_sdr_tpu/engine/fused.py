@@ -18,7 +18,6 @@ import dataclasses
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import cplx
 from ..params import AntennaParams, WaveType

@@ -9,7 +9,7 @@ lives in client.files (shared schema).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 

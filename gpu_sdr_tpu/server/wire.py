@@ -22,7 +22,7 @@ pyUSRP/USRP_connections.py:484-498).
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

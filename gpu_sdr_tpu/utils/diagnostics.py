@@ -8,7 +8,7 @@ class (:333-394), and the measurement-parameter pretty printer (:108-330).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 
 def print_error(message) -> None:

@@ -13,8 +13,6 @@ import logging
 import logging.handlers
 import os
 import threading
-from typing import Optional
-
 _FORMAT = "%(asctime)s;%(threadName)s;%(levelname)s;%(message)s"
 _initialized = False
 
