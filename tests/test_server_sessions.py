@@ -1,0 +1,91 @@
+"""Server session robustness: many sequential measurements over one
+connection (the reference crashed after ~83 measures — reset_usrp_host,
+cpp/USRP_hardware_manager.cpp:8-52) and dual-RX streaming."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu.client import connections as Uconn
+from gpu_sdr_tpu.client import files as Ufiles
+from gpu_sdr_tpu.params import AntennaParams, AntMode, UsrpParams, WaveType
+from gpu_sdr_tpu.server.main import Server
+
+
+@pytest.fixture
+def tmp_chdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _cmd(freq, samples=100_000, fe="A"):
+    cmd = UsrpParams()
+    setattr(cmd, f"{fe}_TXRX", AntennaParams(
+        mode=AntMode.TX, rate=1_000_000, buffer_len=100_000,
+        samples=samples, freq=[freq], ampl=[0.5],
+        wave_type=[WaveType.TONES], delay=1.0))
+    setattr(cmd, f"{fe}_RX2", AntennaParams(
+        mode=AntMode.RX, rate=1_000_000, buffer_len=100_000,
+        samples=samples, decim=100, pf_average=4, freq=[freq],
+        wave_type=[WaveType.DIRECT], delay=1.0))
+    return cmd
+
+
+def test_many_sequential_measurements(tmp_chdir):
+    """Five measurements back-to-back on one connection, each correct."""
+    srv = Server(async_port=0, data_port=0, host="127.0.0.1")
+    srv.start()
+    a_port, d_port = srv.ports
+    stop = threading.Event()
+
+    def serve():
+        while not stop.is_set():
+            srv.serve_one(timeout=0.5)
+
+    worker = threading.Thread(target=serve, daemon=True)
+    worker.start()
+    conn = Uconn.Connection(host="127.0.0.1", async_port=a_port,
+                            sync_port=d_port)
+    try:
+        for i in range(5):
+            cmd = _cmd(freq=10_000 * (i + 1))
+            conn.send_params(cmd)
+            fn = Uconn.Packets_to_file(conn, cmd, filename=f"seq_{i}",
+                                       progress=False)
+            data = Ufiles.openH5file(fn)
+            assert data.shape == (1, 1000)
+            assert np.allclose(np.abs(data[0, 8:]), 0.5, atol=2e-3), i
+    finally:
+        stop.set()
+        conn.close()
+        srv.close()
+
+
+def test_dual_rx_over_tcp(tmp_chdir):
+    """Dual-frontend measurement over TCP: packets route by front-end code
+    into the right H5 groups."""
+    srv = Server(async_port=0, data_port=0, host="127.0.0.1")
+    srv.start()
+    a_port, d_port = srv.ports
+    worker = threading.Thread(target=lambda: srv.serve_one(timeout=20),
+                              daemon=True)
+    worker.start()
+    conn = Uconn.Connection(host="127.0.0.1", async_port=a_port,
+                            sync_port=d_port)
+    try:
+        cmd = _cmd(freq=50_000, fe="A")
+        b = _cmd(freq=-70_000, fe="B")
+        cmd.B_TXRX = b.B_TXRX
+        cmd.B_RX2 = b.B_RX2
+        conn.send_params(cmd)
+        fn = Uconn.Packets_to_file(conn, cmd, filename="dual_tcp",
+                                   progress=False)
+        worker.join(timeout=30)
+        for ant in ("A_RX2", "B_RX2"):
+            data = Ufiles.openH5file(fn, front_end=ant)
+            assert data.shape == (1, 1000), ant
+            assert np.allclose(np.abs(data[0, 8:]), 0.5, atol=2e-3), ant
+    finally:
+        conn.close()
+        srv.close()
