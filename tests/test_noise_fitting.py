@@ -128,3 +128,38 @@ def test_nonlinear_model_roundtrip():
     assert abs(f0 - 100.0) < 1e-3
     assert abs(Qr - 20000) / 20000 < 0.05
     assert abs(modelwise[8] - 0.1) < 0.05    # nonlinearity a
+
+
+def test_amplitude_trigger_from_vna_file(tmp_chdir):
+    """amplitude_trigger(vna=...) loads fit params and calibration from a
+    fitted VNA file (the reference's construction path)."""
+    from gpu_sdr_tpu.client.triggers import amplitude_trigger
+
+    rate = int(1e6)
+    resos = [dict(f0=150_000.0, Qr=25.0, Qe_re=50.0)]
+    chan = make_resonator_channel(rate, resos, fft_len=1 << 12)
+    from gpu_sdr_tpu.client import delay as Udelay
+    Udelay.set_line_delay(rate, 512e-6 * 1e9)
+    try:
+        fn = Uvna.Single_VNA(start_f=-400_000, last_f=400_000,
+                             measure_t=0.2, n_points=800, tx_gain=0,
+                             Rate=rate, RF=10_000_000,
+                             output_filename="vna_for_trig", channel=chan)
+        Uvna.VNA_analysis(fn)
+    finally:
+        Udelay.LINE_DELAY.clear()
+    assert Ufit.initialize_peaks(fn, N_peaks=1, peak_width=50e3,
+                                 Qr_cutoff=5, Mag_depth_cutoff=0.5,
+                                 exclude_center=False)
+    Ufit.vna_fit(fn, fit_range=60e3)
+
+    trig = amplitude_trigger(sample_rate=10_000, threshold=5, vna=fn)
+    assert trig.fit_params and len(trig.fit_params) == 1
+    assert trig.cal > 0
+    # feed data through the frequency-conversion path
+    n = int(1.2 * 10_000 * 10)   # > accumulation at default 10 s? use 0.5
+    trig.accum = 0.5
+    data = np.ones(10_000, dtype=np.complex64) * 0.5
+    md = {"channels": 1, "length": 10_000}
+    out, md2 = trig.trigger(data, dict(md))
+    assert md2["length"] >= 0   # ran the conversion without error
