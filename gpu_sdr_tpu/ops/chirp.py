@@ -51,8 +51,8 @@ class ChirpConfig:
         return p
 
 
-def _phase_index(cfg: ChirpConfig, last_index: jax.Array,
-                 n: jax.Array) -> jax.Array:
+def chirp_phase_index(cfg: ChirpConfig, last_index: jax.Array,
+                      n: jax.Array) -> jax.Array:
     """int32 phase-accumulator values for sample offsets n (uint32 vector).
 
     Exact wrapping-uint32 mirror of the reference kernel arithmetic
@@ -83,7 +83,7 @@ def _chirp_wave(cfg: ChirpConfig, last_index: jax.Array,
                 block_len: int) -> C:
     """The unit chirp waveform sin(th) - 1j*cos(th) as a (re, im) pair."""
     n = jnp.arange(block_len, dtype=jnp.uint32)
-    idx = _phase_index(cfg, last_index, n)
+    idx = chirp_phase_index(cfg, last_index, n)
     t = idx.astype(jnp.float32) * _TWO_31_5
     th = jnp.float32(np.pi) * t
     return C(jnp.sin(th), -jnp.cos(th))

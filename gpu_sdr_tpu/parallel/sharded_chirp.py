@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import cplx
-from ..ops.chirp import ChirpConfig, _phase_index
+from ..ops.chirp import ChirpConfig, chirp_phase_index
 from ..ops.cplx import C
 from ..ops.lockin import lockin_profile
 
@@ -69,7 +69,7 @@ class ShardedChirpLockin:
             base = (last[0] % period) + off[0]
             base = jnp.where(base >= period, base - period, base)
             n = jnp.arange(Lt, dtype=jnp.uint32)
-            idx = _phase_index(cfg, base, n)
+            idx = chirp_phase_index(cfg, base, n)
             th = jnp.float32(np.pi) * (idx.astype(jnp.float32) *
                                        jnp.float32(1.0 / 2147483647.5))
             c = C(jnp.sin(th), -jnp.cos(th))
