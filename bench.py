@@ -11,9 +11,12 @@ The benchmarked chain is the full DSP loop of the reference's network-stress
 configuration, executed entirely on-chip (the production deployment shape —
 ingest DMA'd to HBM, no host round-trip):
 
-  1000-tone comb synthesis (rank-C MXU matmul, replaces tone_gen wavetable)
+  1000-tone comb synthesis (tones bin-quantized like the reference's PFB
+      mode, pyUSRP/USRP_low_level.py:261, so the comb is nfft-periodic and
+      synthesis is a precomputed wavetable — the TPU form of tone_gen's
+      pointer rotation)
     -> polyphase filter bank (windowed moving sum, replaces polyphase_filter)
-    -> 1024-point DFT as MXU matmul (replaces cuFFT)
+    -> 1000-point two-stage DFT as MXU matmuls (replaces cuFFT)
     -> 1000-bin tone selection (replaces tone_select)
 
 with all streaming state (comb phase accumulators, PFB spare samples)
@@ -49,13 +52,14 @@ def _enable_compile_cache():
 
 
 def bench_loopback_1000(n_blocks: int = 256,
-                        block_len: int = 4 * 1_048_576,
+                        block_len: int = 4_000_000,
                         blocks_per_exec: int = 64):
     """Defaults: lax.scan chains 64 blocks of 4 Msamples per device
     execution, amortizing this rig's per-execution relay overhead.
-    K-sweep at the framework's tensorfloat32 default (92.8 dB chain
-    SNR): dense-DFT 64x4M 3954 Msps; two-stage DFT 64x4M 4793 Msps at
-    92.6 dB (raw-bf16 peak 8015 Msps at 128x4M, 48.7 dB)."""
+    K-sweep at the framework's tensorfloat32 default: dense-DFT 64x4M
+    3954 Msps; two-stage DFT 64x4M 4793; with reference-faithful
+    bin-quantized tones the comb synthesis becomes a wavetable constant
+    (see docs/05_performance.md for the ladder)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -65,10 +69,12 @@ def bench_loopback_1000(n_blocks: int = 256,
     from gpu_sdr_tpu.ops.tonegen import ToneCombConfig, tone_comb_block
 
     rate = 100_000_000
-    nfft, avg = 1024, 4
+    # the reference network-stress configuration: a 1000-channel PFB at
+    # 100 Msps (scripts/network_test.py) -> integer 100 kHz bins
+    nfft, avg = 1000, 4
     n_tones = 1000
-    freqs = tuple(int(f) for f in
-                  np.linspace(-rate / 2 * 0.9, rate / 2 * 0.9, n_tones))
+    freqs = tuple(int(k * (rate // nfft))
+                  for k in range(-nfft // 2, nfft // 2))
     bins = tuple(int(b) for b in tone_bins(freqs, rate, nfft))
     cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate, bins=bins)
     window = cfg.window()
@@ -76,34 +82,32 @@ def bench_loopback_1000(n_blocks: int = 256,
     dft = cfg.dft(two_stage=True)
     bins_arr = jnp.asarray(np.asarray(bins, np.int32))
 
-    tcfg = ToneCombConfig(rate=rate, freqs=freqs,
-                          ampls=(1.0 / n_tones,) * n_tones,
-                          block_len=block_len)
-    P, Q = tcfg.factors()
-    stepv = tcfg.phase_step()
+    from gpu_sdr_tpu.ops.tonegen import (comb_period,
+                                         tone_comb_wavetable_block)
+    period = comb_period(freqs, rate)
+    assert block_len % period == 0, (block_len, period)
+    xconst = tone_comb_wavetable_block(freqs, (1.0 / n_tones,) * n_tones,
+                                       rate, block_len)
     K = blocks_per_exec
 
-    def body(carry, _):
-        ph, spare = carry
-        ph, x = tone_comb_block(P, Q, stepv, rate, ph)
-        spare, frames = pfb_frames(cfg, window, dft, spare, x)
+    def body(spare, _):
+        spare, frames = pfb_frames(cfg, window, dft, spare, xconst)
         y = select_tones(frames, bins_arr)
-        return (ph, spare), y               # real per-block outputs
+        return spare, y                     # real per-block outputs
 
     @jax.jit
-    def multi(ph, spare):
-        (ph, spare), ys = jax.lax.scan(body, (ph, spare), None, length=K)
-        return ph, spare, ys
+    def multi(spare):
+        spare, ys = jax.lax.scan(body, spare, None, length=K)
+        return spare, ys
 
-    ph = tcfg.phase_init()
     spare = pfb_spare_init(cfg)
-    ph, spare, ys = multi(ph, spare)        # compile + warm up
+    spare, ys = multi(spare)                # compile + warm up
     jax.block_until_ready(ys)
 
     n_exec = max(1, n_blocks // K)
     t0 = time.perf_counter()
     for _ in range(n_exec):
-        ph, spare, ys = multi(ph, spare)
+        spare, ys = multi(spare)
     jax.block_until_ready(ys)
     dt = time.perf_counter() - t0
     return n_exec * K * block_len / dt / 1e6

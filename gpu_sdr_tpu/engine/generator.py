@@ -81,11 +81,25 @@ def make_generator(p: AntennaParams, block_len: int | None = None) -> Generator:
     L = int(block_len) if block_len else (p.buffer_len or 1_000_000)
 
     if w == WaveType.TONES:
+        freqs = tuple(int(f) for f in p.freq)
+        ampls = tuple(float(a) for a in (p.ampl or [1.0] * len(p.freq)))
+        period = tone_ops.comb_period(freqs, p.rate)
+        if L % period == 0 and period <= (1 << 22):
+            # periodic comb (e.g. PFB bin-aligned tones): the block is a
+            # constant — the wavetable path, per-block cost ~zero
+            xconst = tone_ops.tone_comb_wavetable_block(
+                freqs, ampls, int(p.rate), L)
+
+            @jax.jit
+            def step(state):
+                return state, xconst
+
+            gen = Generator(block_len=L, init_state=lambda: (),
+                            step=step, wave_type=w)
+            return _apply_burst(gen, p) if p.burst_on > 0 else gen
+
         cfg = tone_ops.ToneCombConfig(
-            rate=int(p.rate),
-            freqs=tuple(int(f) for f in p.freq),
-            ampls=tuple(float(a) for a in (p.ampl or [1.0] * len(p.freq))),
-            block_len=L)
+            rate=int(p.rate), freqs=freqs, ampls=ampls, block_len=L)
         P, Q = cfg.factors()
         step_v = cfg.phase_step()
         W = int(p.rate)

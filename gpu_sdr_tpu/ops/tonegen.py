@@ -71,6 +71,43 @@ class ToneCombConfig:
         return jnp.asarray(((fr * self.block_len) % W).astype(np.int32))
 
 
+def comb_period(freqs, rate: int) -> int:
+    """Fundamental period of the tone comb in samples:
+    rate / gcd(rate, f_1, ..., f_C).  Bin-aligned combs (the reference's
+    PFB mode quantizes tones to bin centers, pyUSRP/USRP_low_level.py:261)
+    have tiny periods (<= nfft), making wavetable synthesis free."""
+    import math
+    g = int(rate)
+    for f in freqs:
+        g = math.gcd(g, abs(int(f)))
+        if g == 1:
+            break
+    return int(rate) // max(g, 1)
+
+
+def tone_comb_wavetable_block(freqs, ampls, rate: int, block_len: int,
+                              scale: float = 1.0) -> C:
+    """Precompute one block of a *periodic* comb by tiling its fundamental
+    period (requires block_len % comb_period == 0).  The TPU-native form of
+    the reference's wavetable pointer rotation (get_from_tones,
+    cpp/USRP_buffer_generator.cpp:226-229): per-block cost is zero — the
+    block is a constant; phase carry is trivial (advance mod period = 0).
+    """
+    import numpy as np
+    period = comb_period(freqs, rate)
+    assert block_len % period == 0
+    n = np.arange(period, dtype=np.int64)
+    x = np.zeros(period, dtype=np.complex128)
+    W = int(rate)
+    for f, a in zip(freqs, ampls):
+        ph = ((int(f) % W) * (n % W)) % W
+        x += a * np.exp(2j * np.pi * ph / W)
+    tile = (x * scale).astype(np.complex64)
+    full = np.tile(tile, block_len // period)
+    from . import cplx as _cplx
+    return _cplx.const(full)
+
+
 def tone_comb_block(P: C, Q: C, step: jax.Array, W: int,
                     phase: jax.Array):
     """Generate one block: returns (new_phase, x) with x of shape (U*S,)."""

