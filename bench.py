@@ -78,9 +78,13 @@ def bench_loopback_1000(n_blocks: int = 256,
     bins = tuple(int(b) for b in tone_bins(freqs, rate, nfft))
     cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate, bins=bins)
     window = cfg.window()
-    # two-stage Cooley-Tukey: ~20% faster at the tf32 default, same SNR
-    dft = cfg.dft(two_stage=True)
-    bins_arr = jnp.asarray(np.asarray(bins, np.int32))
+    # two-stage Cooley-Tukey, transpose-free scrambled output: the bin
+    # scramble folds into the tone-select gather
+    dft_full = cfg.dft(two_stage=True)
+    class _Scrambled:
+        __call__ = staticmethod(dft_full.scrambled)
+    dft = _Scrambled()
+    bins_arr = jnp.asarray(dft_full.scramble_index(bins))
 
     from gpu_sdr_tpu.ops.tonegen import (comb_period,
                                          tone_comb_wavetable_block)

@@ -105,9 +105,17 @@ def _build_pfb(p: AntennaParams, plan: BlockPlan,
     cfg = pfb_ops.PFBConfig(nfft=nfft, avg=avg, rate=int(p.rate),
                             bins=bins, decim=int(p.decim))
     window = cfg.window()
-    # two-stage DFT wins at the tf32 matmul default for larger banks
-    dft = cfg.dft(two_stage=True if nfft >= 512 else None)
-    bins_arr = cfg.bins_array()
+    # two-stage DFT wins at the tf32 matmul default for larger banks; for
+    # tone-select (non-full-spectrum) the scrambled transpose-free variant
+    # folds the bin permutation into the gather
+    use_two_stage = nfft >= 512
+    dft_obj = cfg.dft(two_stage=True if use_two_stage else None)
+    if not full_spectrum and dft_obj.split is not None:
+        dft = dft_obj.scrambled
+        bins_arr = jnp.asarray(dft_obj.scramble_index(bins))
+    else:
+        dft = dft_obj
+        bins_arr = cfg.bins_array()
     decim = int(p.decim)
 
     def init_state():

@@ -184,6 +184,23 @@ def _swap_last(a: C) -> C:
     return C(jnp.swapaxes(a.re, -1, -2), jnp.swapaxes(a.im, -1, -2))
 
 
+def _dot_contract_sublast(a: C, b: C):
+    """Contract a's second-to-last axis with b's first axis:
+    (..., m, n) x (m, k) -> (..., n, k) — no explicit transpose (XLA picks
+    layouts).  3-real-multiply complex decomposition."""
+    import jax
+
+    def dg(x, y):
+        nd = x.ndim
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((nd - 2,), (0,)), ((), ())))
+
+    rr = dg(a.re, b.re)
+    ii = dg(a.im, b.im)
+    ri = dg(a.re + a.im, b.re + b.im)
+    return C(rr - ii, ri - rr - ii)
+
+
 class DFT:
     """Batched DFT over the last axis, built once per length.
 
@@ -223,14 +240,33 @@ class DFT:
             return matmul(x, self.F)
         n1, n2 = self.split
         lead = x.shape[:-1]
-        xs = x.reshape(lead + (n1, n2))      # xs[a, b] = x[n2*a + b]
-        xt = _swap_last(xs)                  # (..., b, a)
-        z = matmul(xt, self.F1)              # (..., b, k1)
-        z = mul(z, self.TW)                  # twiddle W_N^{b*k1}
-        zt = _swap_last(z)                   # (..., k1, b)
-        y = matmul(zt, self.F2)              # (..., k1, k2)
-        yt = _swap_last(y)                   # (..., k2, k1)
-        return yt.reshape(lead + (self.n,))  # index k2*n1 + k1 = k
+        yt = _swap_last(self._scrambled_2d(x))   # (..., k2, k1)
+        return yt.reshape(lead + (self.n,))      # index k2*n1 + k1 = k
+
+    def _scrambled_2d(self, x: C) -> C:
+        n1, n2 = self.split
+        lead = x.shape[:-1]
+        xs = x.reshape(lead + (n1, n2))          # xs[a, b] = x[n2*a + b]
+        z = _dot_contract_sublast(xs, self.F1)   # (..., b, k1): sum_a
+        z = mul(z, self.TW)                      # twiddle W_N^{b*k1}
+        return _dot_contract_sublast(z, self.F2)  # (..., k1, k2): sum_b
+
+    def scrambled(self, x: C) -> C:
+        """Two-stage DFT without the final un-scramble transpose: returns
+        (..., k1, k2) where bin k = k2*n1 + k1 lives at [..., k % n1,
+        k // n1] (see scramble_index).  Transpose-free via dot_general
+        contractions — the fast path when a gather follows anyway."""
+        assert self.split is not None
+        lead = x.shape[:-1]
+        y = self._scrambled_2d(x)                # (..., k1, k2)
+        return y.reshape(lead + (self.n,))       # flat pos = k1*n2 + k2
+
+    def scramble_index(self, bins) -> np.ndarray:
+        """Map bin indices k to their position in scrambled() output."""
+        assert self.split is not None
+        n1, n2 = self.split
+        b = np.asarray(bins, dtype=np.int64)
+        return ((b % n1) * n2 + (b // n1)).astype(np.int32)
 
 
 def fft(x: C, dft: DFT) -> C:
