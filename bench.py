@@ -51,7 +51,7 @@ def _enable_compile_cache():
         pass
 
 
-def bench_loopback_1000(n_blocks: int = 256,
+def bench_loopback_1000(n_blocks: int = 512,
                         block_len: int = 4_000_000,
                         blocks_per_exec: int = 64):
     """Defaults: lax.scan chains 64 blocks of 4 Msamples per device
