@@ -14,3 +14,4 @@ Here those become mesh axes:
 
 from .mesh import make_mesh, default_mesh  # noqa: F401
 from .sharded import ShardedDDC  # noqa: F401
+from .fused_sharded import ShardedFusedLoopback  # noqa: F401

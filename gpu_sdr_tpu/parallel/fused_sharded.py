@@ -1,0 +1,305 @@
+"""Fused TX->PFB->select loopback chain over a (time, channels) mesh.
+
+The multi-chip form of engine/fused.py's TONES->TONES path: the whole
+K-blocks-per-execution loop — tone synthesis, PFB channelization, tone
+selection — runs as ONE SPMD program.  The `lax.scan` lives *inside* the
+`shard_map`, so each device executes the full K-block loop locally and the
+only inter-device traffic per block is
+
+  * a ppermute of the (avg-1)*nfft-sample overlap-save halo around the
+    time ring (ICI neighbor exchange; the reference's buffer_helper spare
+    samples, cpp/USRP_server_memory_management.cpp:104-156), and
+  * one psum over the channel axis to combine owner-local tone selections
+    (each channel shard owns nfft/Kc contiguous bins and contributes only
+    the tones whose bin it owns — no sharded gather, no all-to-all).
+
+TX synthesis shards over 'time' exactly: per-shard integer phase offsets
+f*(t*Lt) mod W are folded into the per-shard int32 phase carry (the general
+matmul comb), or — for bin-quantized combs with period | block — the local
+block slice is a constant (the wavetable fast path, see ops/tonegen.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import cplx
+from ..ops import tonegen as tone_ops
+from ..ops.cplx import C
+from ..ops.pfb import PFBConfig, tone_bins
+from ..params import AntennaParams, WaveType
+
+try:  # jax >= 0.6 moved shard_map to the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _cpair(*spec):
+    return C(P(*spec), P(*spec))
+
+
+@dataclasses.dataclass
+class ShardedFusedLoopback:
+    """Compiled sharded K-block TONES->TONES (PFB) loopback chain.
+
+    Usage:
+        sf = ShardedFusedLoopback(tx, rx, mesh, blocks_per_exec=K,
+                                  block_len=L)
+        state = sf.init_state()
+        state, ys = sf.run_exec(state)    # ys (K, L//nfft, n_tones) global
+    """
+
+    tx: AntennaParams
+    rx: AntennaParams
+    mesh: Mesh
+    blocks_per_exec: int = 8
+    block_len: int = 1_000_000
+
+    def __post_init__(self):
+        tx, rx, mesh, L = self.tx, self.rx, self.mesh, self.block_len
+        assert tx.wave_type and tx.wave_type[0] == WaveType.TONES
+        assert rx.wave_type and rx.wave_type[0] == WaveType.TONES
+        rate = int(rx.rate)
+        nfft = int(rx.fft_tones)
+        avg = int(rx.pf_average)
+        self.cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate)
+        self.T = mesh.shape.get("time", 1)
+        self.Kc = mesh.shape.get("channels", 1)
+        assert L % (self.T * nfft) == 0, \
+            "block_len must split over time shards in whole frames"
+        assert nfft % self.Kc == 0, "nfft must split over channel shards"
+        self.Lt = L // self.T
+        self.ft = self.Lt // nfft            # frames per time shard
+        self.H = (avg - 1) * nfft
+        assert self.H <= self.Lt, "halo must fit in one time shard"
+
+        # tone selection: owner shard + local column per tone
+        bins = tone_bins(rx.freq, rate, nfft)          # global bins
+        nloc = nfft // self.Kc
+        self.n_tones = len(bins)
+        self._owners = jnp.asarray((bins // nloc).astype(np.int32))
+        self._local_idx = jnp.asarray((bins % nloc).astype(np.int32))
+
+        from ..ops.cplx import dft_matrix
+        self.F = dft_matrix(nfft)                      # (nfft, nfft)
+        self.window = self.cfg.window()
+
+        # TX path selection (mirrors engine/generator.py make_generator)
+        freqs = tuple(int(f) for f in tx.freq)
+        ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
+        period = tone_ops.comb_period(freqs, rate)
+        self._const_tx = (L % period == 0 and period <= (1 << 22))
+        if self._const_tx:
+            self._xconst = tone_ops.tone_comb_wavetable_block(
+                freqs, ampls, rate, L)                 # (L,) global const
+        else:
+            cfgt = tone_ops.ToneCombConfig(
+                rate=rate, freqs=freqs, ampls=ampls, block_len=self.Lt)
+            self._P, self._Q = cfgt.factors()          # local (U,C),(C,S)
+            fr = np.asarray(freqs, dtype=np.int64)
+            W = rate
+            # per-block phase advance is the GLOBAL block stride f*L mod W
+            self._stepv = jnp.asarray(((fr * L) % W).astype(np.int32))
+            # per-shard init: shard t starts at absolute sample t*Lt
+            t = np.arange(self.T, dtype=np.int64)
+            ph0 = (fr[None, :] * ((t[:, None] * self.Lt) % W)) % W
+            self._phase0 = jnp.asarray(
+                ph0.reshape(-1).astype(np.int32))      # (T*Ctx,)
+            self._n_tx = len(freqs)
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        mesh = self.mesh
+        nfft, avg = self.cfg.nfft, self.cfg.avg
+        rate = self.cfg.rate
+        T, H, ft, K = self.T, self.H, self.ft, self.blocks_per_exec
+        Kc = self.Kc
+        has_time = "time" in mesh.axis_names and T > 1
+        time_ax = "time" if "time" in mesh.axis_names else None
+        ch_ax = "channels" if "channels" in mesh.axis_names else None
+        const_tx = self._const_tx
+
+        def pfb_select(halo, x, window, F, owners, local_idx):
+            """One block of PFB + owner-local select (local shapes:
+            halo (H,), x (Lt,), F (nfft, nfft/Kc))."""
+            if H > 0 and has_time:
+                tail = x[-H:]
+                perm = [(i, (i + 1) % T) for i in range(T)]
+                recv = C(jax.lax.ppermute(tail.re, "time", perm),
+                         jax.lax.ppermute(tail.im, "time", perm))
+                tidx = jax.lax.axis_index("time")
+                use = C(jnp.where(tidx == 0, halo.re, recv.re),
+                        jnp.where(tidx == 0, halo.im, recv.im))
+                new_halo = recv
+            elif H > 0:
+                use, new_halo = halo, x[-H:]
+            else:
+                use, new_halo = halo, halo
+            ze = cplx.concat([use, x]) if H else x
+            X = ze.reshape(ft + avg - 1, nfft)
+            W2 = window.reshape(avg, nfft)
+            pre = cplx.zeros((ft, nfft), dtype=x.re.dtype)
+            for i in range(avg):
+                pre = pre + cplx.scale(X[i:i + ft, :], W2[i][None, :])
+            frames = cplx.matmul(pre, F)               # (ft, nfft/Kc)
+            sel = cplx.take(frames, local_idx, axis=-1)  # (ft, n_tones)
+            if ch_ax is not None and Kc > 1:
+                cidx = jax.lax.axis_index("channels")
+                mask = (owners == cidx).astype(sel.re.dtype)[None, :]
+                sel = C(jax.lax.psum(sel.re * mask, "channels"),
+                        jax.lax.psum(sel.im * mask, "channels"))
+            return new_halo, sel
+
+        if const_tx:
+            def spmd_chain(halo, xloc, window, F, owners, local_idx):
+                def body(carry, _):
+                    halo2, sel = pfb_select(carry, xloc, window, F,
+                                            owners, local_idx)
+                    return halo2, sel
+                halo, ys = jax.lax.scan(body, halo, None, length=K)
+                return halo, ys
+
+            self._exec = jax.jit(shard_map(
+                spmd_chain, mesh=mesh,
+                in_specs=(_cpair(time_ax),     # halo carry
+                          _cpair(time_ax),     # const TX block
+                          P(None),             # window
+                          _cpair(None, ch_ax),  # DFT columns
+                          P(None), P(None)),   # owners, local_idx
+                out_specs=(_cpair(time_ax),
+                           _cpair(None, time_ax, None)),
+                check_vma=False))
+        else:
+            Ptx, Qtx, stepv = self._P, self._Q, self._stepv
+
+            def spmd_chain(phase, halo, window, F, owners, local_idx):
+                def body(carry, _):
+                    ph, hl = carry
+                    ph, x = tone_ops.tone_comb_block(Ptx, Qtx, stepv,
+                                                     rate, ph)
+                    hl, sel = pfb_select(hl, x, window, F,
+                                         owners, local_idx)
+                    return (ph, hl), sel
+                (phase2, halo2), ys = jax.lax.scan(
+                    body, (phase, halo), None, length=K)
+                return phase2, halo2, ys
+
+            self._exec = jax.jit(shard_map(
+                spmd_chain, mesh=mesh,
+                in_specs=(P(time_ax),          # per-shard tx phase
+                          _cpair(time_ax),     # halo carry
+                          P(None),
+                          _cpair(None, ch_ax),
+                          P(None), P(None)),
+                out_specs=(P(time_ax), _cpair(time_ax),
+                           _cpair(None, time_ax, None)),
+                check_vma=False))
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        halo = cplx.zeros(self.T * self.H)
+        if self._const_tx:
+            return (halo,)
+        return (self._phase0, halo)
+
+    def run_exec(self, state):
+        """One compiled execution: K blocks.  Returns (state', ys) with
+        ys of global shape (K, L//nfft, n_tones) sharded over time."""
+        if self._const_tx:
+            (halo,) = state
+            halo, ys = self._exec(halo, self._xconst, self.window, self.F,
+                                  self._owners, self._local_idx)
+            return (halo,), ys
+        phase, halo = state
+        phase, halo, ys = self._exec(phase, halo, self.window, self.F,
+                                     self._owners, self._local_idx)
+        return (phase, halo), ys
+
+    # ------------------------------------------------------------------
+    def run(self, sinks=(), usrp_number: int = 0, front_end: str = "A",
+            n_blocks: int | None = None):
+        """Stream a full acquisition through the sharded chain, feeding
+        sinks packet-by-packet (the mesh analogue of
+        engine/fused.FusedLoopback.run)."""
+        import time
+        from ..engine.pipeline import PipelineResult
+        from ..engine.sinks import PacketMeta
+        K = self.blocks_per_exec
+        nb = int(n_blocks) if n_blocks else K
+        n_exec = max(1, -(-nb // K))
+        rows_per_block = self.T * self.ft
+        for s in sinks:
+            s.on_start(self.n_tones, rows_per_block * nb)
+        state = self.init_state()
+        rows = pkt = 0
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n_exec):
+            state, ys = self.run_exec(state)
+            if pending is not None:
+                rows, pkt = self._drain(pending, sinks, rows, pkt,
+                                        usrp_number, front_end, PacketMeta)
+            pending = ys
+        rows, pkt = self._drain(pending, sinks, rows, pkt,
+                                usrp_number, front_end, PacketMeta)
+        elapsed = time.perf_counter() - t0
+        for s in sinks:
+            s.on_end()
+        return PipelineResult(n_blocks=n_exec * K, rows=rows,
+                              channels=self.n_tones, elapsed_s=elapsed,
+                              samples_in=n_exec * K * self.block_len)
+
+    def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end,
+               PacketMeta):
+        data = cplx.to_np(ys)                   # (K, rows_b, n_tones)
+        for k in range(data.shape[0]):
+            d = data[k]
+            meta = PacketMeta(usrp_number=usrp_number,
+                              front_end_code=front_end,
+                              packet_number=pkt, length=int(d.size),
+                              errors=0, channels=int(d.shape[1]))
+            for s in sinks:
+                s.on_packet(meta, d)
+            rows += d.shape[0]
+            pkt += 1
+        return rows, pkt
+
+
+def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,
+                     mesh: Mesh) -> bool:
+    """True when the (tx, rx, mesh) triple maps onto the sharded fused
+    chain: TONES->TONES, no frame averaging, bins splittable over the
+    channel axis."""
+    if tx is None or not tx.wave_type or not rx.wave_type:
+        return False
+    if (tx.wave_type[0], rx.wave_type[0]) != (WaveType.TONES,
+                                              WaveType.TONES):
+        return False
+    if int(rx.decim) > 1:
+        return False
+    Kc = mesh.shape.get("channels", 1)
+    nfft = int(rx.fft_tones)
+    return nfft > 0 and nfft % Kc == 0
+
+
+def plan_sharded_block(rx: AntennaParams, mesh: Mesh):
+    """(block_len, n_blocks) for a sharded fused acquisition: the planner's
+    commensurate block rounded up so it splits over time shards in whole
+    frames and each shard's segment covers the PFB halo."""
+    from ..engine.planner import plan_blocks
+    plan = plan_blocks(rx)
+    T = mesh.shape.get("time", 1)
+    nfft = int(rx.fft_tones)
+    q = T * nfft
+    L = -(-plan.block_len // q) * q
+    L = max(L, T * (int(rx.pf_average) - 1) * nfft)
+    L = -(-L // q) * q
+    total = int(rx.samples) if int(rx.samples) > 0 else L
+    return L, max(1, -(-total // L))

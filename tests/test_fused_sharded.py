@@ -1,0 +1,138 @@
+"""Sharded fused TONES->PFB->select loopback chain vs the golden stream.
+
+The scan-inside-shard_map chain (parallel/fused_sharded.py) must reproduce
+the unsharded golden PFB of the golden tone stream on a (time, channels)
+mesh, through multiple executions (halo + phase carries crossing both the
+scan and the execution boundary)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from gpu_sdr_tpu import golden
+from gpu_sdr_tpu.ops import cplx
+from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedLoopback
+
+
+def _mesh(t, c):
+    devs = np.array(jax.devices()[:t * c]).reshape(t, c)
+    return Mesh(devs, ("time", "channels"))
+
+
+def _params(rate, freqs, ampls, nfft, avg):
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=rate,
+                       freq=list(freqs), ampl=list(ampls),
+                       wave_type=[WaveType.TONES] * len(freqs))
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=rate,
+                       freq=list(freqs), ampl=list(ampls),
+                       wave_type=[WaveType.TONES] * len(freqs),
+                       fft_tones=nfft, pf_average=avg)
+    return tx, rx
+
+
+def _golden_selected(freqs, ampls, rate, nfft, avg, bins, n_samples):
+    x = golden.tone_block(list(freqs), list(ampls), rate, 0, n_samples)
+    frames = golden.pfb_frames(x, nfft, avg)
+    return frames[:, bins]
+
+
+@pytest.mark.parametrize("freqs,label", [
+    ((3000, -7000, 15000), "const"),     # bin-aligned -> wavetable TX
+    ((3001, -7013), "matmul"),           # off-grid -> matmul TX + phase
+])
+def test_sharded_fused_matches_golden(freqs, label):
+    rate, nfft, avg = 64_000, 64, 4
+    ampls = tuple(0.5 for _ in freqs)
+    T, Kc = 4, 2
+    L = T * nfft * 8                     # 8 frames per time shard
+    K, n_exec = 3, 2
+    tx, rx = _params(rate, freqs, ampls, nfft, avg)
+    mesh = _mesh(T, Kc)
+    sf = ShardedFusedLoopback(tx, rx, mesh, blocks_per_exec=K, block_len=L)
+    assert sf._const_tx == (label == "const")
+
+    state = sf.init_state()
+    outs = []
+    for _ in range(n_exec):
+        state, ys = sf.run_exec(state)
+        y = cplx.to_np(ys)               # (K, L//nfft, n_tones)
+        outs.append(y.reshape(-1, y.shape[-1]))
+    out = np.concatenate(outs, axis=0)
+
+    bins = golden.tone_bins(list(freqs), rate, nfft)
+    ref = _golden_selected(freqs, ampls, rate, nfft, avg, bins,
+                           n_exec * K * L)
+    # zero-primed halo: our frame t corresponds to golden frame t-(avg-1)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 90.0, f"{label}: SNR {snr:.1f} dB"
+
+
+def test_run_measurement_dispatches_sharded_fused(monkeypatch, tmp_path):
+    """run_measurement(mesh=...) with a fusable TONES->TONES loopback must
+    take the sharded fused fast path and produce the golden tone stream."""
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.measure import run_measurement
+    from gpu_sdr_tpu.params import UsrpParams
+    from gpu_sdr_tpu.parallel import fused_sharded as fs
+
+    calls = []
+    orig = fs.ShardedFusedLoopback.run
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(fs.ShardedFusedLoopback, "run", spy)
+    monkeypatch.chdir(tmp_path)
+
+    rate, nfft, avg = 1_024_000, 64, 4
+    bin_hz = rate // nfft
+    freqs = [5 * bin_hz, -10 * bin_hz]
+    cmd = UsrpParams()
+    cmd.A_TXRX = AntennaParams(
+        mode=AntMode.TX, rate=rate, buffer_len=64_000, samples=256_000,
+        freq=freqs, ampl=[0.4, 0.3], wave_type=[WaveType.TONES] * 2,
+        delay=1.0)
+    cmd.A_RX2 = AntennaParams(
+        mode=AntMode.RX, rate=rate, buffer_len=64_000, samples=256_000,
+        freq=freqs, fft_tones=nfft, pf_average=avg,
+        wave_type=[WaveType.TONES] * 2, delay=1.0)
+    mesh = _mesh(4, 2)
+    sink = MemorySink()
+    run_measurement(cmd, None, extra_sinks=[sink], mesh=mesh)
+    assert calls, "sharded fused path was not dispatched"
+    out = sink.data
+    bins = golden.tone_bins(freqs, rate, nfft)
+    ref = _golden_selected(freqs, [0.4, 0.3], rate, nfft, avg, bins,
+                           out.shape[0] * nfft + (avg - 1) * nfft)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    assert golden.snr_db(ref[:n], out[skip:skip + n]) > 90
+
+
+def test_sharded_fused_time_only_mesh():
+    """A 1-D time mesh (no channel axis) must also work: selection is a
+    plain local gather of the full spectrum."""
+    rate, nfft, avg = 32_000, 32, 4
+    freqs, ampls = (2000, -5000), (0.7, 0.3)
+    T = 4
+    devs = np.array(jax.devices()[:T])
+    mesh = Mesh(devs, ("time",))
+    L = T * nfft * 4
+    tx, rx = _params(rate, freqs, ampls, nfft, avg)
+    sf = ShardedFusedLoopback(tx, rx, mesh, blocks_per_exec=2, block_len=L)
+    state = sf.init_state()
+    state, ys = sf.run_exec(state)
+    state, ys2 = sf.run_exec(state)
+    out = np.concatenate([cplx.to_np(y).reshape(-1, len(freqs))
+                          for y in (ys, ys2)], axis=0)
+    bins = golden.tone_bins(list(freqs), rate, nfft)
+    ref = _golden_selected(freqs, ampls, rate, nfft, avg, bins, 4 * L)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
