@@ -143,7 +143,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
         # the mesh (parallel/fused_sharded.py)
         if source is None and channel is None and mesh is not None:
             from .parallel.fused_sharded import (
-                ShardedFusedLoopback, can_fuse_sharded, plan_sharded_block)
+                can_fuse_sharded, make_sharded_fused, plan_sharded_block)
             tx_name = _pair_tx(params, rx_name)
             tx = params.antenna(tx_name) if tx_name else None
             if tx is not None and can_fuse_sharded(tx, rx, mesh) and \
@@ -155,9 +155,9 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                     sinks.append(h5)
                     out_name = h5.filename
                 L, nb = plan_sharded_block(rx, mesh)
-                sf = ShardedFusedLoopback(tx, rx, mesh,
-                                          blocks_per_exec=min(8, nb),
-                                          block_len=L)
+                sf = make_sharded_fused(tx, rx, mesh,
+                                        blocks_per_exec=min(8, nb),
+                                        block_len=L)
                 res = sf.run(sinks, usrp_number=params.usrp_number,
                              front_end=rx_name[0], n_blocks=nb)
                 results.append(res)

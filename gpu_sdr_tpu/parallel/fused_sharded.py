@@ -272,6 +272,105 @@ class ShardedFusedLoopback:
         return rows, pkt
 
 
+@dataclasses.dataclass
+class ShardedFusedVNA:
+    """Compiled sharded K-block CHIRP->CHIRP (VNA) loopback chain.
+
+    Chirp demod is elementwise and the lock-in segment-local, so the chain
+    needs NO halo (see sharded_chirp.py): each time shard synthesizes its
+    own chirp segment from a per-shard uint32 offset (exact mod-period
+    arithmetic), mixes it down against itself (the loopback), and reduces
+    whole lock-in segments.  The scan over K blocks runs inside the
+    shard_map; the only replicated state is the uint32 block-start index.
+    """
+
+    tx: AntennaParams
+    rx: AntennaParams
+    mesh: Mesh
+    blocks_per_exec: int = 8
+    block_len: int = 1_000_000
+
+    def __post_init__(self):
+        from ..params import chirp_steps_and_length
+        from ..ops import chirp as chirp_ops
+        from ..ops.lockin import lockin_profile
+        tx, rx, mesh, L = self.tx, self.rx, self.mesh, self.block_len
+        assert tx.wave_type and tx.wave_type[0] == WaveType.CHIRP
+        assert rx.wave_type and rx.wave_type[0] == WaveType.CHIRP
+        steps, length = chirp_steps_and_length(rx)
+        self.cfg = chirp_ops.ChirpConfig.from_params(
+            rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
+        decim = int(rx.decim)
+        assert decim > 0, "sharded fused VNA needs the lock-in (decim>=1)"
+        self.ppt = length * decim
+        self.T = mesh.shape.get("time", 1)
+        assert L % (self.T * self.ppt) == 0, \
+            "block must split into whole lock-in segments per time shard"
+        self.Lt = L // self.T
+        self.nseg_t = self.Lt // self.ppt
+        self.scale = float(tx.ampl[0]) if tx.ampl else 1.0
+        period = self.cfg.period
+        t = np.arange(self.T, dtype=np.uint64)
+        self._off = jnp.asarray(
+            ((t * np.uint64(self.Lt)) % np.uint64(period)).astype(np.uint32))
+        self.profile = jnp.asarray(lockin_profile(self.ppt))
+        self.n_tones = 1
+        self._build()
+
+    def _build(self):
+        from ..ops.chirp import chirp_phase_index
+        cfg, mesh = self.cfg, self.mesh
+        Lt, ppt, nseg_t, K = self.Lt, self.ppt, self.nseg_t, \
+            self.blocks_per_exec
+        L = self.block_len
+        time_ax = "time" if "time" in mesh.axis_names else None
+        period = jnp.uint32(cfg.period)
+        scale = jnp.float32(self.scale)
+
+        def spmd_chain(last, off, profile):
+            n = jnp.arange(Lt, dtype=jnp.uint32)
+
+            def body(l, _):
+                base = (l[0] % period) + off[0]
+                base = jnp.where(base >= period, base - period, base)
+                idx = chirp_phase_index(cfg, base, n)
+                th = jnp.float32(np.pi) * (
+                    idx.astype(jnp.float32) *
+                    jnp.float32(1.0 / 2147483647.5))
+                c = C(jnp.sin(th), -jnp.cos(th))      # unit chirp
+                x = C(c.re * scale, c.im * scale)     # TX output
+                z = cplx.conj_mul(c, x)               # RX mix-down
+                seg = z.reshape(nseg_t, ppt)
+                y = cplx.matmul_cr(seg, profile)
+                l2 = (l + jnp.uint32(L % cfg.period)) % period
+                return l2, y
+
+            last, ys = jax.lax.scan(body, last, None, length=K)
+            return last, ys
+
+        self._exec = jax.jit(shard_map(
+            spmd_chain, mesh=mesh,
+            in_specs=(P(None), P(time_ax), P(None)),
+            out_specs=(P(None), _cpair(None, time_ax)),
+            check_vma=False))
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        return (jnp.zeros(1, dtype=jnp.uint32),)
+
+    def run_exec(self, state):
+        """One execution: K blocks -> ys global (K, L//ppt, 1)."""
+        (last,) = state
+        last, ys = self._exec(last, self._off, self.profile)
+        ys = C(ys.re[..., None], ys.im[..., None])
+        return (last,), ys
+
+    # reuse the generic acquisition loop
+    ft = property(lambda self: self.nseg_t)
+    run = ShardedFusedLoopback.run
+    _drain = ShardedFusedLoopback._drain
+
+
 def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,
                      mesh: Mesh) -> bool:
     """True when the (tx, rx, mesh) triple maps onto the sharded fused
@@ -279,27 +378,41 @@ def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,
     channel axis."""
     if tx is None or not tx.wave_type or not rx.wave_type:
         return False
-    if (tx.wave_type[0], rx.wave_type[0]) != (WaveType.TONES,
-                                              WaveType.TONES):
-        return False
-    if int(rx.decim) > 1:
-        return False
-    Kc = mesh.shape.get("channels", 1)
-    nfft = int(rx.fft_tones)
-    return nfft > 0 and nfft % Kc == 0
+    pair = (tx.wave_type[0], rx.wave_type[0])
+    if pair == (WaveType.TONES, WaveType.TONES):
+        if int(rx.decim) > 1:
+            return False
+        Kc = mesh.shape.get("channels", 1)
+        nfft = int(rx.fft_tones)
+        return nfft > 0 and nfft % Kc == 0
+    if pair == (WaveType.CHIRP, WaveType.CHIRP):
+        return int(rx.decim) >= 1 and len(rx.freq) == 1
+    return False
+
+
+def make_sharded_fused(tx: AntennaParams, rx: AntennaParams, mesh: Mesh,
+                       blocks_per_exec: int, block_len: int):
+    """Build the fused sharded chain for a fusable (tx, rx) pair."""
+    if rx.wave_type[0] == WaveType.CHIRP:
+        return ShardedFusedVNA(tx, rx, mesh, blocks_per_exec=blocks_per_exec,
+                               block_len=block_len)
+    return ShardedFusedLoopback(tx, rx, mesh,
+                                blocks_per_exec=blocks_per_exec,
+                                block_len=block_len)
 
 
 def plan_sharded_block(rx: AntennaParams, mesh: Mesh):
     """(block_len, n_blocks) for a sharded fused acquisition: the planner's
     commensurate block rounded up so it splits over time shards in whole
-    frames and each shard's segment covers the PFB halo."""
-    from ..engine.planner import plan_blocks
+    output strides (frames / lock-in segments) and — for the PFB — each
+    shard's segment covers the overlap-save halo."""
+    from ..engine.planner import mode_stride, plan_blocks
     plan = plan_blocks(rx)
     T = mesh.shape.get("time", 1)
-    nfft = int(rx.fft_tones)
-    q = T * nfft
+    q = T * mode_stride(rx)
     L = -(-plan.block_len // q) * q
-    L = max(L, T * (int(rx.pf_average) - 1) * nfft)
-    L = -(-L // q) * q
+    if rx.wave_type and rx.wave_type[0] == WaveType.TONES:
+        L = max(L, T * (int(rx.pf_average) - 1) * int(rx.fft_tones))
+        L = -(-L // q) * q
     total = int(rx.samples) if int(rx.samples) > 0 else L
     return L, max(1, -(-total // L))

@@ -114,6 +114,81 @@ def test_run_measurement_dispatches_sharded_fused(monkeypatch, tmp_path):
     assert golden.snr_db(ref[:n], out[skip:skip + n]) > 90
 
 
+def test_sharded_fused_vna_matches_unsharded():
+    """CHIRP->CHIRP sharded fused chain == the single-device FusedLoopback
+    (same chirp, same lock-in segmentation, block boundaries crossing the
+    chirp period)."""
+    from gpu_sdr_tpu.engine.fused import FusedLoopback
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedVNA
+
+    rate = 1_000_000
+    p = dict(rate=rate, buffer_len=100_000, samples=400_000,
+             freq=[-300_000], chirp_f=[300_000], chirp_t=[0.1],
+             swipe_s=[1000], delay=1.0)
+    tx = AntennaParams(mode=AntMode.TX, ampl=[0.8],
+                       wave_type=[WaveType.CHIRP], **p)
+    rx = AntennaParams(mode=AntMode.RX, decim=1,
+                       wave_type=[WaveType.CHIRP], **p)
+
+    ref_sink = MemorySink()
+    FusedLoopback(tx, rx, blocks_per_exec=2).run([ref_sink])
+    ref = ref_sink.data
+
+    T = 4
+    devs = np.array(jax.devices()[:T])
+    mesh = Mesh(devs, ("time",))
+    ppt = 100  # chirp length/steps * decim = (0.1*1e6/1000)*1 = 100
+    L = T * ppt * 250
+    sf = ShardedFusedVNA(tx, rx, mesh, blocks_per_exec=2, block_len=L)
+    assert sf.ppt == ppt
+    state = sf.init_state()
+    outs = []
+    for _ in range(2):
+        state, ys = sf.run_exec(state)
+        y = cplx.to_np(ys)
+        outs.append(y.reshape(-1, 1))
+    out = np.concatenate(outs, axis=0)
+    n = min(len(ref), len(out))
+    assert n > 0
+    assert golden.snr_db(ref[:n], out[:n]) > 100
+
+
+def test_run_measurement_dispatches_sharded_vna(monkeypatch, tmp_path):
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.measure import run_measurement
+    from gpu_sdr_tpu.params import UsrpParams
+    from gpu_sdr_tpu.parallel import fused_sharded as fs
+
+    calls = []
+    orig = fs.ShardedFusedVNA.run_exec
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(fs.ShardedFusedVNA, "run_exec", spy)
+    monkeypatch.chdir(tmp_path)
+
+    rate = 1_000_000
+    p = dict(rate=rate, buffer_len=100_000, samples=300_000,
+             freq=[-200_000], chirp_f=[200_000], chirp_t=[0.05],
+             swipe_s=[500], delay=1.0)
+    cmd = UsrpParams()
+    cmd.A_TXRX = AntennaParams(mode=AntMode.TX, ampl=[1.0],
+                               wave_type=[WaveType.CHIRP], **p)
+    cmd.A_RX2 = AntennaParams(mode=AntMode.RX, decim=1,
+                              wave_type=[WaveType.CHIRP], **p)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("time",))
+    sink = MemorySink()
+    run_measurement(cmd, None, extra_sinks=[sink], mesh=mesh)
+    assert calls, "sharded fused VNA path was not dispatched"
+    out = sink.data
+    # loopback VNA: z = |chirp|^2 = 1 at every lock-in point
+    assert out.shape[1] == 1 and out.shape[0] > 0
+    assert np.allclose(out, 1.0, atol=1e-4)
+
+
 def test_sharded_fused_time_only_mesh():
     """A 1-D time mesh (no channel axis) must also work: selection is a
     plain local gather of the full spectrum."""
