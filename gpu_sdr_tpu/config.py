@@ -70,3 +70,20 @@ def configure_precision(precision: str | None = None, force: bool = False):
         _applied = True
     except Exception:
         pass
+
+
+def use_pallas_pfb() -> bool:
+    """Whether the engine should use the Pallas fused PFB pre-sum
+    (ops/pallas_pfb.py).  GPU_SDR_TPU_PALLAS=1/0 forces it; the default
+    ("auto") enables it on TPU backends only — on CPU, Pallas requires
+    interpret mode, which is slower than the XLA path."""
+    v = os.environ.get("GPU_SDR_TPU_PALLAS", "auto").lower()
+    if v in ("0", "off", "false", "no"):
+        return False
+    if v in ("1", "on", "true", "yes"):
+        return True
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -118,12 +118,18 @@ def _build_pfb(p: AntennaParams, plan: BlockPlan,
         bins_arr = cfg.bins_array()
     decim = int(p.decim)
 
+    from ..config import use_pallas_pfb
+    if use_pallas_pfb():
+        from ..ops.pallas_pfb import pfb_frames_fused as _pfb_frames
+    else:
+        _pfb_frames = pfb_ops.pfb_frames
+
     def init_state():
         return pfb_ops.pfb_spare_init(cfg)
 
     @jax.jit
     def step(spare, x):
-        spare, frames = pfb_ops.pfb_frames(cfg, window, dft, spare, x)
+        spare, frames = _pfb_frames(cfg, window, dft, spare, x)
         if decim > 0:
             frames = pfb_ops.average_frames(frames, decim)
         if bins_arr is not None:
