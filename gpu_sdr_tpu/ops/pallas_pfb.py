@@ -74,11 +74,17 @@ def _pick_bt(nframes: int, target: int = 256) -> int:
 
 
 def pallas_presum(window2d: jax.Array, X: C, nframes: int,
-                  bt: int | None = None, interpret: bool = False) -> C:
+                  bt: int | None = None,
+                  interpret: bool | None = None) -> C:
     """pre[t, b] = sum_i X[t+i, b] * window2d[i, b] for t < nframes.
 
-    X: (nframes + avg - 1, nfft) pair; window2d: (avg, nfft)."""
+    X: (nframes + avg - 1, nfft) pair; window2d: (avg, nfft).
+    interpret=None auto-selects interpret mode off-TPU (CPU Pallas only
+    runs interpreted), so gated callers work on any backend."""
     import jax.experimental.pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
 
     avg, nfft = window2d.shape
     ftot = X.shape[0]
@@ -123,7 +129,7 @@ def pallas_presum(window2d: jax.Array, X: C, nframes: int,
 
 def pfb_frames_fused(cfg: PFBConfig, window: jax.Array, dft, spare: C,
                      x: C, bt: int | None = None,
-                     interpret: bool = False):
+                     interpret: bool | None = None):
     """Drop-in for ops/pfb.pfb_frames with the Pallas pre-sum.
 
     Same signature/semantics: (new_spare, frames)."""

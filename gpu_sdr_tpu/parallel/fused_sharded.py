@@ -126,6 +126,14 @@ class ShardedFusedLoopback:
         ch_ax = "channels" if "channels" in mesh.axis_names else None
         const_tx = self._const_tx
 
+        # Pallas one-pass pre-sum on the local (ft, nfft) tile when the
+        # per-shard geometry tiles (same gate as the single-chip engine)
+        from ..config import use_pallas_pfb
+        from ..ops.pallas_pfb import _HALO_PAD, _pick_bt, pallas_presum
+        bt = _pick_bt(ft)
+        fused_presum = (use_pallas_pfb() and bt > 0 and H > 0 and
+                        avg - 1 <= min(_HALO_PAD, bt))
+
         def pfb_select(halo, x, window, F, owners, local_idx):
             """One block of PFB + owner-local select (local shapes:
             halo (H,), x (Lt,), F (nfft, nfft/Kc))."""
@@ -145,9 +153,12 @@ class ShardedFusedLoopback:
             ze = cplx.concat([use, x]) if H else x
             X = ze.reshape(ft + avg - 1, nfft)
             W2 = window.reshape(avg, nfft)
-            pre = cplx.zeros((ft, nfft), dtype=x.re.dtype)
-            for i in range(avg):
-                pre = pre + cplx.scale(X[i:i + ft, :], W2[i][None, :])
+            if fused_presum:
+                pre = pallas_presum(W2, X, ft, bt=bt)
+            else:
+                pre = cplx.zeros((ft, nfft), dtype=x.re.dtype)
+                for i in range(avg):
+                    pre = pre + cplx.scale(X[i:i + ft, :], W2[i][None, :])
             frames = cplx.matmul(pre, F)               # (ft, nfft/Kc)
             sel = cplx.take(frames, local_idx, axis=-1)  # (ft, n_tones)
             if ch_ax is not None and Kc > 1:

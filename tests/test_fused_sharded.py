@@ -211,3 +211,31 @@ def test_sharded_fused_time_only_mesh():
     n = min(len(ref), len(out) - skip)
     snr = golden.snr_db(ref[:n], out[skip:skip + n])
     assert snr > 90.0, f"SNR {snr:.1f} dB"
+
+
+def test_sharded_fused_pallas_presum_matches_golden(monkeypatch):
+    """With the Pallas gate forced on, the sharded chain uses the one-pass
+    pre-sum kernel (interpret mode off-TPU) and must still match golden."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    freqs, ampls = (3000, -7000, 15000), (0.5, 0.5, 0.5)
+    rate, nfft, avg = 64_000, 64, 4
+    T, Kc = 4, 2
+    L = T * nfft * 8
+    K, n_exec = 2, 2
+    tx, rx = _params(rate, freqs, ampls, nfft, avg)
+    sf = ShardedFusedLoopback(tx, rx, _mesh(T, Kc), blocks_per_exec=K,
+                              block_len=L)
+    state = sf.init_state()
+    outs = []
+    for _ in range(n_exec):
+        state, ys = sf.run_exec(state)
+        y = cplx.to_np(ys)
+        outs.append(y.reshape(-1, y.shape[-1]))
+    out = np.concatenate(outs, axis=0)
+    bins = golden.tone_bins(list(freqs), rate, nfft)
+    ref = _golden_selected(freqs, ampls, rate, nfft, avg, bins,
+                           n_exec * K * L)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 90.0, f"pallas sharded SNR {snr:.1f} dB"
