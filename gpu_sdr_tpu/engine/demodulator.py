@@ -219,24 +219,27 @@ def _build_direct_sharded(p: AntennaParams, plan: BlockPlan,
 def _build_tones_sharded(p: AntennaParams, plan: BlockPlan,
                          mesh) -> Demodulator:
     """TONES over a (time, channels) mesh: the sharded PFB computes the
-    column-sharded spectrum, then tone selection is a gather on the sharded
-    frames (XLA inserts the collective; the selected-tone set is tiny
-    compared to the spectrum, so the gather traffic is negligible)."""
+    column-sharded spectrum and selects tones owner-locally inside the SPMD
+    program — each channel shard owns nfft/Kc contiguous bins, so selection
+    is one local gather plus one psum over the channel axis (no sharded
+    gather collective)."""
     from ..parallel.sharded_pfb import ShardedPFB
     nfft = int(p.fft_tones)
     plan = _mesh_plan(plan, mesh, max(1, int(p.decim)))
     bins = pfb_ops.tone_bins(p.freq, p.rate, nfft)
-    bins_arr = jnp.asarray(np.asarray(bins, np.int32))
     cfg = pfb_ops.PFBConfig(nfft=nfft, avg=int(p.pf_average),
                             rate=int(p.rate))
-    sp = ShardedPFB(cfg, mesh, plan.block_len)
+    sp = ShardedPFB(cfg, mesh, plan.block_len,
+                    bins=tuple(int(b) for b in bins))
     decim = int(p.decim)
 
     def step(state, x):
-        state, frames = sp.step(state, x)
+        # selection commutes with frame averaging (both linear): select
+        # owner-locally first, then average the (ft, n_tones) stream
+        state, sel = sp.step(state, x)
         if decim > 0:
-            frames = pfb_ops.average_frames(frames, decim)
-        return state, pfb_ops.select_tones(frames, bins_arr)
+            sel = pfb_ops.average_frames(sel, decim)
+        return state, sel
 
     return Demodulator(plan=plan, n_channels=len(bins),
                        init_state=sp.init_state, step=step,

@@ -13,8 +13,11 @@ Multi-chip version of ops/pfb.py:
     pre-sum is computed redundantly per channel shard (cheap; it is the
     memory-bound part) and the MXU matmul is split.
 
-Output: (frames, nfft) sharded over (time, channels); tone selection on the
-sharded spectrum is a plain jnp.take (XLA inserts the gather collectives).
+Output: (frames, nfft) sharded over (time, channels); with `bins` set, tone
+selection happens owner-locally inside the SPMD program (each channel shard
+owns nfft/Kc contiguous bins, selects its own, and one psum over the channel
+axis combines them — no sharded gather), like the fused chain
+(fused_sharded.py).
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ class ShardedPFB:
     cfg: PFBConfig
     mesh: Mesh
     block_len: int
+    bins: tuple | None = None     # selected bins -> owner-local tone select
 
     def __post_init__(self):
         cfg, mesh, L = self.cfg, self.mesh, self.block_len
@@ -59,6 +63,11 @@ class ShardedPFB:
         self.Lt = L // self.T
         self.frames_t = self.Lt // nfft
         self.H = (avg - 1) * nfft
+        if self.bins is not None:
+            nloc = nfft // self.Kc
+            b = np.asarray(self.bins, dtype=np.int64)
+            self._owners = jnp.asarray((b // nloc).astype(np.int32))
+            self._local_idx = jnp.asarray((b % nloc).astype(np.int32))
 
         from ..ops.cplx import dft_matrix
         self.F = dft_matrix(nfft)                 # (nfft, nfft) C pair
@@ -72,10 +81,13 @@ class ShardedPFB:
         has_time = "time" in mesh.axis_names and T > 1
         time_ax = "time" if "time" in mesh.axis_names else None
         ch_ax = "channels" if "channels" in mesh.axis_names else None
+        Kc = self.Kc
+        select = self.bins is not None
 
-        def spmd_step(carry, x, window, F):
+        def spmd_step(carry, x, window, F, owners, local_idx):
             """Local shapes: carry (H,), x (Lt,), window (nfft*avg,),
-            F (nfft, nfft/Kc)."""
+            F (nfft, nfft/Kc); owners/local_idx (n_tones,) replicated
+            (dummy scalars when not selecting)."""
             if H > 0 and has_time:
                 tail = x[-H:]
                 perm = [(i, (i + 1) % T) for i in range(T)]
@@ -96,15 +108,27 @@ class ShardedPFB:
             for i in range(avg):
                 pre = pre + cplx.scale(X[i:i + ft, :], W[i][None, :])
             frames = cplx.matmul(pre, F)          # (ft, nfft/Kc)
+            if select:
+                # owner-local tone select + one psum over the channel axis
+                # (no sharded gather; mirrors fused_sharded.pfb_select)
+                sel = cplx.take(frames, local_idx, axis=-1)
+                if ch_ax is not None and Kc > 1:
+                    cidx = jax.lax.axis_index("channels")
+                    mask = (owners == cidx).astype(sel.re.dtype)[None, :]
+                    sel = C(jax.lax.psum(sel.re * mask, "channels"),
+                            jax.lax.psum(sel.im * mask, "channels"))
+                return new_carry, sel
             return new_carry, frames
 
+        out_spec = _cpair(time_ax) if select else _cpair(time_ax, ch_ax)
         self._step = jax.jit(shard_map(
             spmd_step, mesh=mesh,
             in_specs=(_cpair(time_ax),            # carry (per time shard)
                       _cpair(time_ax),            # x
                       P(None),                    # window (replicated)
-                      _cpair(None, ch_ax)),       # DFT columns
-            out_specs=(_cpair(time_ax), _cpair(time_ax, ch_ax)),
+                      _cpair(None, ch_ax),        # DFT columns
+                      P(None), P(None)),          # owners / local_idx
+            out_specs=(_cpair(time_ax), out_spec),
             check_vma=False))
 
     # ------------------------------------------------------------------
@@ -112,8 +136,15 @@ class ShardedPFB:
         return cplx.zeros(self.T * self.H)
 
     def step(self, carry: C, x: C):
-        """Returns (carry', frames) with frames (L//nfft, nfft) sharded."""
-        carry, frames = self._step(carry, x, self.window, self.F)
+        """Returns (carry', frames): frames is (L//nfft, nfft) sharded over
+        (time, channels), or (L//nfft, n_tones) time-sharded when `bins`
+        selection is active."""
+        if self.bins is not None:
+            owners, local_idx = self._owners, self._local_idx
+        else:
+            owners = local_idx = jnp.zeros((1,), jnp.int32)
+        carry, frames = self._step(carry, x, self.window, self.F,
+                                   owners, local_idx)
         return carry, frames
 
     def shard_input(self, x_np: np.ndarray) -> C:

@@ -1,0 +1,99 @@
+"""Per-config throughput benchmarks (BASELINE.json configs 1-4) on one chip.
+
+Each config builds its production fused loopback chain (engine/fused.py:
+TX generator -> demodulator, lax.scan K blocks per execution) through the
+public params API, and times the compiled chain device-resident.  Prints
+one JSON line per config.  Config 5 (multi-host sharded + triggered
+capture) is functional-only on this single-chip rig — see
+tests/test_config5_sharded_capture.py and parallel/fused_sharded.py.
+
+Run:  nohup python tools/bench_configs.py > log 2>&1 &
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def time_chain(tx, rx, K, target_samples=1_024_000_000):
+    import jax
+    from gpu_sdr_tpu.engine.fused import FusedLoopback
+    fl = FusedLoopback(tx, rx, blocks_per_exec=K)
+    B = fl.demod.plan.block_len
+    gstate = fl.gen.init_state()
+    dstate = fl.demod.init_state()
+    t0 = time.perf_counter()
+    gstate, dstate, ys = fl._multi(gstate, dstate)
+    jax.block_until_ready(ys)
+    compile_s = time.perf_counter() - t0
+    n_exec = max(1, target_samples // (K * B))
+    t0 = time.perf_counter()
+    for _ in range(n_exec):
+        gstate, dstate, ys = fl._multi(gstate, dstate)
+    jax.block_until_ready(ys)
+    dt = time.perf_counter() - t0
+    return n_exec * K * B / dt / 1e6, B, compile_s
+
+
+def main():
+    from gpu_sdr_tpu.config import configure_precision
+    configure_precision()
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rate = 100_000_000
+    results = {}
+
+    # config 1: single-tone DDC + polyphase FIR decimate-by-100
+    tx1 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
+                        freq=[10_000_000], ampl=[1.0],
+                        wave_type=[WaveType.TONES])
+    rx1 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                        decim=100, pf_average=4, freq=[10_000_000],
+                        wave_type=[WaveType.DIRECT])
+    results["1_single_tone_ddc_fir"] = time_chain(tx1, rx1, K=64)
+
+    # config 2: swept VNA chirp (server-side lock-in, ppt=20000)
+    tx2 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
+                        freq=[-40_000_000], chirp_f=[40_000_000],
+                        chirp_t=[1.0], swipe_s=[5000], ampl=[1.0],
+                        wave_type=[WaveType.CHIRP])
+    rx2 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                        decim=1, freq=[-40_000_000], chirp_f=[40_000_000],
+                        chirp_t=[1.0], swipe_s=[5000],
+                        wave_type=[WaveType.CHIRP])
+    results["2_vna_chirp_lockin"] = time_chain(tx2, rx2, K=32)
+
+    # config 3: 100-tone multiplexed readout (comb TX + fused DDC+FIR)
+    freqs100 = [int(f) for f in np.linspace(-45e6, 45e6, 100)]
+    tx3 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
+                        freq=freqs100, ampl=[0.01] * 100,
+                        wave_type=[WaveType.TONES] * 100)
+    rx3 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                        decim=100, pf_average=4, freq=freqs100,
+                        wave_type=[WaveType.DIRECT] * 100)
+    results["3_100tone_readout"] = time_chain(tx3, rx3, K=64)
+
+    # config 4: full-spectrum 1000-bin channelizer (NOISE mode)
+    bins1000 = [int(k * (rate // 1000)) for k in range(-500, 500)]
+    tx4 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
+                        freq=bins1000, ampl=[0.001] * 1000,
+                        wave_type=[WaveType.TONES] * 1000)
+    rx4 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                        fft_tones=1000, pf_average=4,
+                        wave_type=[WaveType.NOISE])
+    results["4_full_spectrum"] = time_chain(tx4, rx4, K=32)
+
+    for name, (msps, B, compile_s) in results.items():
+        print(json.dumps({"config": name, "value": round(msps, 1),
+                          "unit": "Msamples/s/chip",
+                          "vs_baseline": round(msps / 100.0, 2),
+                          "block_len": B, "compile_s": round(compile_s, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
