@@ -8,10 +8,13 @@ The XLA pre-sum in ops/pfb.pfb_frames —
 the headline config it costs MORE than the two-stage DFT matmul that
 follows (XLA executes the shifted-slice add chain as multiple HBM passes,
 ~9x off bandwidth speed-of-light).  This kernel computes the same pre-sum
-in ONE pass: each grid step holds a (bt, nfft) tile of X in VMEM plus the
-avg-1 following rows (the inter-tile halo, staged as a tiny side input so
-no BlockSpec overlaps), multiplies by the window rows and accumulates —
-one HBM read of the block, one write of the pre-sum.
+in ONE pass: each grid step holds a (bt, nfft) tile of the raw block in
+VMEM plus the avg-1 rows PRECEDING the tile (the inter-tile halo, staged
+as a tiny side input so no BlockSpec overlaps; tile 0's halo is the
+carried spare), multiplies by the window rows and accumulates — one HBM
+read of the block, one write of the pre-sum.  Feeding the raw block
+directly (rather than concat([spare, x]), which costs a full extra HBM
+round trip) measured +9% end-to-end at the headline config.
 
 The DFT stays in XLA: at nfft ~ 1000 the two-stage Cooley-Tukey matmul
 (~n1+n2 MACs/sample) beats any in-kernel dense DFT (nfft MACs/sample) on
@@ -34,24 +37,30 @@ import numpy as np
 from .cplx import C
 from .pfb import PFBConfig, pfb_frames
 
-
 _HALO_PAD = 8   # Mosaic block sublane granularity: halo rows padded to 8
 
 
-def _kernel(avg: int, bt: int, ar_ref, ai_ref, hr_ref, hi_ref, w_ref,
+def _kernel(avg: int, bt: int, ar_ref, ai_ref, lr_ref, li_ref, w_ref,
             or_ref, oi_ref):
-    """One (bt, nfft) output tile.  a: rows [r*bt, (r+1)*bt) of X;
-    h: the avg-1 rows following the tile (padded to _HALO_PAD);
-    w: (avg, nfft) window rows."""
-    ar = ar_ref[:]
-    ai = ai_ref[:]
+    """One (bt, nfft) output tile.  a: raw rows [r*bt, (r+1)*bt);
+    l: the avg-1 rows preceding the tile (padded to _HALO_PAD; the last
+    avg-1 of the padded rows are the real ones); w: (avg, nfft) windows.
+
+    Frame t of the tile spans ext[t : t+avg) where
+    ext = concat(l[-(avg-1):], a); term i of the window sum is
+    ext[i : i+bt] = concat(l[pad+i-(avg-1):], a[: bt-(avg-1-i)])."""
+    a_r = ar_ref[:]
+    a_i = ai_ref[:]
     w = w_ref[:]
-    out_r = ar * w[0][None, :]
-    out_i = ai * w[0][None, :]
-    for i in range(1, avg):
-        # rows i..i+bt of the extended tile = concat(a[i:], h[:i])
-        rr = jnp.concatenate([ar[i:], hr_ref[:i]], axis=0)
-        ri = jnp.concatenate([ai[i:], hi_ref[:i]], axis=0)
+    out_r = a_r * w[avg - 1][None, :]
+    out_i = a_i * w[avg - 1][None, :]
+    lead = avg - 1
+    for i in range(lead):
+        k = lead - i                       # rows taken from the lead halo
+        rr = jnp.concatenate(
+            [lr_ref[_HALO_PAD - k:], a_r[:bt - k]], axis=0)
+        ri = jnp.concatenate(
+            [li_ref[_HALO_PAD - k:], a_i[:bt - k]], axis=0)
         out_r = out_r + rr * w[i][None, :]
         out_i = out_i + ri * w[i][None, :]
     or_ref[:] = out_r
@@ -73,12 +82,14 @@ def _pick_bt(nframes: int, target: int = 256) -> int:
     return bt
 
 
-def pallas_presum(window2d: jax.Array, X: C, nframes: int,
+def pallas_presum(window2d: jax.Array, spare: C, X: C,
                   bt: int | None = None,
                   interpret: bool | None = None) -> C:
-    """pre[t, b] = sum_i X[t+i, b] * window2d[i, b] for t < nframes.
+    """pre[t, b] = sum_i ext[t+i, b] * window2d[i, b] for t < nframes,
+    with ext = concat(spare, X) — computed WITHOUT materializing ext.
 
-    X: (nframes + avg - 1, nfft) pair; window2d: (avg, nfft).
+    X: (nframes, nfft) raw rows; spare: (avg-1, nfft) carried rows;
+    window2d: (avg, nfft).
     interpret=None auto-selects interpret mode off-TPU (CPU Pallas only
     runs interpreted), so gated callers work on any backend."""
     import jax.experimental.pallas as pl
@@ -87,22 +98,28 @@ def pallas_presum(window2d: jax.Array, X: C, nframes: int,
         interpret = jax.default_backend() not in ("tpu", "axon")
 
     avg, nfft = window2d.shape
-    ftot = X.shape[0]
-    assert ftot == nframes + avg - 1
+    nframes = X.shape[0]
+    lead = avg - 1
+    assert spare.shape == (lead, nfft)
     if bt is None:
         bt = _pick_bt(nframes)
     assert bt and nframes % bt == 0 and bt % 8 == 0
     nr = nframes // bt
-    assert avg - 1 <= _HALO_PAD, "halo rows must fit in the padded tile"
+    assert lead <= _HALO_PAD, "halo rows must fit in the padded tile"
+    assert lead <= bt
 
-    # inter-tile halo rows, padded to _HALO_PAD per tile:
-    # h[r, j] = X[(r+1)*bt + j] for j < avg-1 (pad rows clamped, unused)
-    idx = ((np.arange(nr)[:, None] + 1) * bt +
-           np.arange(_HALO_PAD)[None, :]).reshape(-1)
-    idx = np.minimum(idx, ftot - 1)
+    # leading halo rows, padded to _HALO_PAD per tile, real rows LAST:
+    # l[r, _HALO_PAD-k+j] = ext[r*bt - k + j] — tile 0 takes the spare,
+    # tile r>0 takes the last `lead` rows of the previous tile of X.
+    idx = ((np.arange(1, nr)[:, None]) * bt - lead +
+           np.arange(_HALO_PAD)[None, :] - (_HALO_PAD - lead))
+    idx = np.maximum(idx.reshape(-1), 0)
     idx_arr = jnp.asarray(idx.astype(np.int32))
-    hr = jnp.take(X.re, idx_arr, axis=0)
-    hi = jnp.take(X.im, idx_arr, axis=0)
+    pad = jnp.zeros((_HALO_PAD - lead, nfft), X.re.dtype)
+    l0_r = jnp.concatenate([pad, spare.re], axis=0)
+    l0_i = jnp.concatenate([pad, spare.im], axis=0)
+    lr = jnp.concatenate([l0_r, jnp.take(X.re, idx_arr, axis=0)], axis=0)
+    li = jnp.concatenate([l0_i, jnp.take(X.im, idx_arr, axis=0)], axis=0)
 
     kernel = functools.partial(_kernel, avg, bt)
     out_shape = (jax.ShapeDtypeStruct((nframes, nfft), X.re.dtype),
@@ -113,8 +130,8 @@ def pallas_presum(window2d: jax.Array, X: C, nframes: int,
         in_specs=[
             pl.BlockSpec((bt, nfft), lambda r: (r, 0)),        # a re
             pl.BlockSpec((bt, nfft), lambda r: (r, 0)),        # a im
-            pl.BlockSpec((_HALO_PAD, nfft), lambda r: (r, 0)),  # halo re
-            pl.BlockSpec((_HALO_PAD, nfft), lambda r: (r, 0)),  # halo im
+            pl.BlockSpec((_HALO_PAD, nfft), lambda r: (r, 0)),  # lead re
+            pl.BlockSpec((_HALO_PAD, nfft), lambda r: (r, 0)),  # lead im
             pl.BlockSpec((avg, nfft), lambda r: (0, 0)),       # window
         ],
         out_specs=(
@@ -123,7 +140,7 @@ def pallas_presum(window2d: jax.Array, X: C, nframes: int,
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(X.re, X.im, hr, hi, window2d)
+    )(X.re, X.im, lr, li, window2d)
     return C(o_re, o_im)
 
 
@@ -133,20 +150,20 @@ def pfb_frames_fused(cfg: PFBConfig, window: jax.Array, dft, spare: C,
     """Drop-in for ops/pfb.pfb_frames with the Pallas pre-sum.
 
     Same signature/semantics: (new_spare, frames)."""
-    from . import cplx
     nfft, avg = cfg.nfft, cfg.avg
     L = x.shape[0]
     nframes = L // nfft
     bt_eff = bt if bt is not None else _pick_bt(nframes)
+    H = (avg - 1) * nfft
     if (not spare.shape[0] or not bt_eff or avg - 1 > _HALO_PAD or
-            avg - 1 > bt_eff):
+            avg - 1 > bt_eff or H > L):
         # no carry (avg==1) / untileable geometry: XLA path
         return pfb_frames(cfg, window, dft, spare, x)
     bt = bt_eff
-    ze = cplx.concat([spare, x])
-    X = ze.reshape(nframes + avg - 1, nfft)
+    X = x.reshape(nframes, nfft)
+    S = spare.reshape(avg - 1, nfft)
     W = window.reshape(avg, nfft)
-    pre = pallas_presum(W, X, nframes, bt=bt, interpret=interpret)
+    pre = pallas_presum(W, S, X, bt=bt, interpret=interpret)
     frames = dft(pre)
-    new_spare = ze[L:]
+    new_spare = x[L - H:]
     return new_spare, frames

@@ -150,12 +150,14 @@ class ShardedFusedLoopback:
                 use, new_halo = halo, x[-H:]
             else:
                 use, new_halo = halo, halo
-            ze = cplx.concat([use, x]) if H else x
-            X = ze.reshape(ft + avg - 1, nfft)
             W2 = window.reshape(avg, nfft)
             if fused_presum:
-                pre = pallas_presum(W2, X, ft, bt=bt)
+                # leading-halo form: no concat([halo, x]) HBM round trip
+                pre = pallas_presum(W2, use.reshape(avg - 1, nfft),
+                                    x.reshape(ft, nfft), bt=bt)
             else:
+                ze = cplx.concat([use, x]) if H else x
+                X = ze.reshape(ft + avg - 1, nfft)
                 pre = cplx.zeros((ft, nfft), dtype=x.re.dtype)
                 for i in range(avg):
                     pre = pre + cplx.scale(X[i:i + ft, :], W2[i][None, :])
