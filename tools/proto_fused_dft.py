@@ -13,7 +13,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 import jax  # noqa: E402
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":          # CPU for the interpret-mode self-test
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 from gpu_sdr_tpu.ops import cplx  # noqa: E402
@@ -46,9 +47,12 @@ def _kernel(avg, bt, n1, n2, ar, ai, lr, li, w_ref,
     pr = pr.reshape(n1, n2 * bt)
     pi = pi.reshape(n1, n2 * bt)
     # stage 1: z[k1, (b,t)] = sum_a F1[a, k1] * p[a, (b,t)]  (F1 symmetric:
-    # F1[a,k1] = W_n1^{a k1}) -> F1^T @ p = F1 @ p
-    zr = jnp.dot(f1r[:], pr) - jnp.dot(f1i[:], pi)
-    zi = jnp.dot(f1r[:], pi) + jnp.dot(f1i[:], pr)
+    # F1[a,k1] = W_n1^{a k1}) -> F1^T @ p = F1 @ p.  Mosaic only lowers
+    # DEFAULT/HIGHEST dot precision; the DFT FLOPs are small, take HIGHEST.
+    P = jax.lax.Precision.HIGHEST
+    dot = functools.partial(jnp.dot, precision=P)
+    zr = dot(f1r[:], pr) - dot(f1i[:], pi)
+    zi = dot(f1r[:], pi) + dot(f1i[:], pr)
     # twiddle: TW[k1, b] broadcast over t
     z3r = zr.reshape(n1, n2, bt)
     z3i = zi.reshape(n1, n2, bt)
@@ -60,8 +64,8 @@ def _kernel(avg, bt, n1, n2, ar, ai, lr, li, w_ref,
     # -> transpose u to (n2, n1, bt) then (n2, n1*bt); F2 symmetric.
     ur = jnp.swapaxes(ur, 0, 1).reshape(n2, n1 * bt)
     ui = jnp.swapaxes(ui, 0, 1).reshape(n2, n1 * bt)
-    yr = jnp.dot(f2r[:], ur) - jnp.dot(f2i[:], ui)
-    yi = jnp.dot(f2r[:], ui) + jnp.dot(f2i[:], ur)
+    yr = dot(f2r[:], ur) - dot(f2i[:], ui)
+    yi = dot(f2r[:], ui) + dot(f2i[:], ur)
     # y rows k2, cols (k1, t) -> output (nfft, bt) rows (k2, k1)
     or_[:] = yr.reshape(nfft, bt)
     oi_[:] = yi.reshape(nfft, bt)
