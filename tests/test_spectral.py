@@ -46,3 +46,32 @@ def test_calculate_noise_jax_backend(tmp_path, monkeypatch):
     assert np.allclose(freq_j, freq_s)
     # dB spectra agree closely between backends
     assert np.max(np.abs(real_j[0] - real_s[0])) < 0.5
+
+
+def test_best_split_tpu_alignment():
+    """Sublane-aligned stage-1 with near-128 stage-2 (measured fastest on
+    TPU, tools/perf_split_sweep.py); balanced fallback otherwise."""
+    from gpu_sdr_tpu.ops.cplx import _best_split
+    assert _best_split(1000) == (8, 125)
+    assert _best_split(512) == (8, 64)
+    n1, n2 = _best_split(100)       # no aligned candidate -> balanced
+    assert (n1, n2) == (10, 10)
+
+
+def test_two_stage_dft_1000_matches_numpy():
+    """The headline (8,125) split must match numpy fft (full + scrambled)."""
+    import numpy as np
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.cplx import DFT
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((3, 1000)) +
+         1j * rng.standard_normal((3, 1000))).astype(np.complex64)
+    ref = np.fft.fft(x, axis=-1)
+    d = DFT(1000, two_stage=True)
+    assert d.split == (8, 125)
+    got = cplx.to_np(d(cplx.from_np(x)))
+    assert np.abs(got - ref).max() < 2e-3 * np.abs(ref).max()
+    # scrambled + scramble_index roundtrip
+    sc = cplx.to_np(d.scrambled(cplx.from_np(x)))
+    idx = d.scramble_index(np.arange(1000))
+    assert np.abs(sc[:, idx] - ref).max() < 2e-3 * np.abs(ref).max()

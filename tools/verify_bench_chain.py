@@ -15,6 +15,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from gpu_sdr_tpu.config import configure_precision
+    configure_precision()          # the framework default bench.py runs at
     import jax
     import jax.numpy as jnp
     from gpu_sdr_tpu import golden
