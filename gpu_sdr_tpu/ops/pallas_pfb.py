@@ -67,19 +67,24 @@ def _kernel(avg: int, bt: int, ar_ref, ai_ref, lr_ref, li_ref, w_ref,
     oi_ref[:] = out_i
 
 
-def _pick_bt(nframes: int, target: int = 256) -> int:
-    """Largest divisor of nframes <= target that is a multiple of 8 (the
-    Mosaic sublane granularity).  target=256 keeps the double-buffered
-    in+out tiles (4 x bt x nfft x 4B) near 4 MB at nfft ~ 1000 —
-    comfortable in 16 MB VMEM.  Returns 0 when no such tiling exists
-    (callers fall back to the XLA path)."""
-    bt = 0
+def _pick_bt(nframes: int, nfft: int = 1000) -> int:
+    """Tile height: a divisor of nframes, multiple of 8 (Mosaic sublane
+    granularity), small enough that the double-buffered in+out tiles
+    (2 x 4 x bt x nfft x 4B) stay within ~12 MB of the 16 MB VMEM scoped
+    limit.  Measured on chip (tools/perf_bt_sweep.py, nfft=1000):
+    32-aligned tiles stream best (bt=160: 126 us/blk vs bt=200: 143),
+    so prefer the largest 32-aligned candidate, then 16-, then 8-aligned.
+    Returns 0 when no tiling exists (callers fall back to XLA)."""
+    cap = max(8, (12 * 2 ** 20) // (32 * max(nfft, 1)))
+    cands = []
     for d in range(1, int(np.sqrt(nframes)) + 1):
         if nframes % d == 0:
             for c in (d, nframes // d):
-                if c <= target and c % 8 == 0 and c > bt:
-                    bt = c
-    return bt
+                if c <= cap and c % 8 == 0:
+                    cands.append(c)
+    if not cands:
+        return 0
+    return max(cands, key=lambda c: ((c % 32 == 0), (c % 16 == 0), c))
 
 
 def pallas_presum(window2d: jax.Array, spare: C, X: C,
@@ -102,7 +107,7 @@ def pallas_presum(window2d: jax.Array, spare: C, X: C,
     lead = avg - 1
     assert spare.shape == (lead, nfft)
     if bt is None:
-        bt = _pick_bt(nframes)
+        bt = _pick_bt(nframes, nfft)
     assert bt and nframes % bt == 0 and bt % 8 == 0
     nr = nframes // bt
     assert lead <= _HALO_PAD, "halo rows must fit in the padded tile"
@@ -153,7 +158,7 @@ def pfb_frames_fused(cfg: PFBConfig, window: jax.Array, dft, spare: C,
     nfft, avg = cfg.nfft, cfg.avg
     L = x.shape[0]
     nframes = L // nfft
-    bt_eff = bt if bt is not None else _pick_bt(nframes)
+    bt_eff = bt if bt is not None else _pick_bt(nframes, nfft)
     H = (avg - 1) * nfft
     if (not spare.shape[0] or not bt_eff or avg - 1 > _HALO_PAD or
             avg - 1 > bt_eff or H > L):

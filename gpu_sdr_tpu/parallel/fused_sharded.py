@@ -130,7 +130,7 @@ class ShardedFusedLoopback:
         # per-shard geometry tiles (same gate as the single-chip engine)
         from ..config import use_pallas_pfb
         from ..ops.pallas_pfb import _HALO_PAD, _pick_bt, pallas_presum
-        bt = _pick_bt(ft)
+        bt = _pick_bt(ft, nfft)
         fused_presum = (use_pallas_pfb() and bt > 0 and H > 0 and
                         avg - 1 <= min(_HALO_PAD, bt))
 

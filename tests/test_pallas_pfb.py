@@ -59,7 +59,9 @@ def test_pallas_presum_matches_golden_stream():
 
 
 def test_pick_bt():
-    assert _pick_bt(4000) == 200        # divisor of 4000, %8==0, <=256
-    assert _pick_bt(24) == 24
-    assert 4096 % _pick_bt(4096) == 0 and _pick_bt(4096) == 256
-    assert _pick_bt(25) == 0            # no multiple-of-8 divisor
+    # divisor of nframes, %8==0, 32-aligned preferred, VMEM-capped
+    assert _pick_bt(4000, 1000) == 160
+    assert _pick_bt(24, 64) == 24
+    bt = _pick_bt(4096, 1024)
+    assert 4096 % bt == 0 and bt % 32 == 0
+    assert _pick_bt(25, 64) == 0        # no multiple-of-8 divisor
