@@ -82,10 +82,14 @@ def _build_direct(p: AntennaParams, plan: BlockPlan) -> Demodulator:
         return (ddc_ops.ddc_carrier_init(cfg, L),
                 cplx.zeros((cfg.f - 1) * cfg.M))
 
+    from ..ops.pallas_ddc import ddc_fused
+
     @jax.jit
     def step(state, x):
         phase, hist = state
-        phase, hist, y = ddc_ops.direct_ddc_fir(
+        # fused Pallas DDC+FIR (one HBM pass; falls back to the XLA
+        # accumulated-matmul path when the geometry doesn't tile)
+        phase, hist, y = ddc_fused(
             hmod, ramp, step_v, cfg.rate, cfg.M, cfg.f, phase, hist, x)
         return (phase, hist), y
 

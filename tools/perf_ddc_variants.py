@@ -296,6 +296,168 @@ def stage8():
     report("memops_only", dt, cs, samples=K * L)
 
 
+def stage9():
+    """DDC-only scan with the fused Pallas kernel (ops/pallas_ddc.py)."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import ddc_carrier_init, ddc_carrier_step
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+    cfg = _ddc_cfg()
+    hmod = cfg.modulated_taps()
+    ramp = cfg.carrier_ramp(L // cfg.M)
+    stepv = ddc_carrier_step(cfg, L)
+    xconst = _const_block()
+
+    @jax.jit
+    def multi(phase, hist):
+        def body(carry, _):
+            ph, h = carry
+            ph, h, y = ddc_fused(hmod, ramp, stepv, cfg.rate, cfg.M,
+                                 cfg.f, ph, h, xconst)
+            return (ph, h), y[:1]
+        return jax.lax.scan(body, (phase, hist), None, length=K)
+
+    dt, cs = timeit(
+        multi, (ddc_carrier_init(cfg, L), cplx.zeros((cfg.f - 1) * cfg.M)))
+    report("ddc_only_pallas", dt, cs, samples=K * L,
+           cmacs=K * L * PFA * CTONES)
+
+
+def stage10():
+    """Full chain (synth + fused Pallas DDC), K=16."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import ddc_carrier_init, ddc_carrier_step
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+    from gpu_sdr_tpu.ops.tonegen import tone_comb_block
+    scfg = _synth_cfg()
+    P, Q = scfg.factors()
+    sstep = scfg.phase_step()
+    dcfg = _ddc_cfg()
+    hmod = dcfg.modulated_taps()
+    ramp = dcfg.carrier_ramp(L // dcfg.M)
+    dstep = ddc_carrier_step(dcfg, L)
+
+    @jax.jit
+    def multi(sphase, dphase, hist):
+        def body(carry, _):
+            sph, dph, h = carry
+            sph, x = tone_comb_block(P, Q, sstep, RATE, sph)
+            dph, h, y = ddc_fused(hmod, ramp, dstep, dcfg.rate,
+                                  dcfg.M, dcfg.f, dph, h, x)
+            return (sph, dph, h), y[:1]
+        return jax.lax.scan(body, (sphase, dphase, hist), None, length=K)
+
+    args = (scfg.phase_init(), ddc_carrier_init(dcfg, L),
+            cplx.zeros((dcfg.f - 1) * dcfg.M))
+    dt, cs = timeit(multi, args)
+    report("full_chain_pallas_K16", dt, cs, samples=K * L,
+           cmacs=K * L * (PFA + 1) * CTONES)
+
+
+def stage12():
+    """DDC-only scan, fused Pallas kernel with bf16 hi/lo split dots."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import ddc_carrier_init, ddc_carrier_step
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+    cfg = _ddc_cfg()
+    hmod = cfg.modulated_taps()
+    ramp = cfg.carrier_ramp(L // cfg.M)
+    stepv = ddc_carrier_step(cfg, L)
+    xconst = _const_block()
+
+    @jax.jit
+    def multi(phase, hist):
+        def body(carry, _):
+            ph, h = carry
+            ph, h, y = ddc_fused(hmod, ramp, stepv, cfg.rate, cfg.M,
+                                 cfg.f, ph, h, xconst, precision="tf32")
+            return (ph, h), y[:1]
+        return jax.lax.scan(body, (phase, hist), None, length=K)
+
+    dt, cs = timeit(
+        multi, (ddc_carrier_init(cfg, L), cplx.zeros((cfg.f - 1) * cfg.M)))
+    report("ddc_only_pallas_tf32", dt, cs, samples=K * L,
+           cmacs=K * L * PFA * CTONES)
+
+
+def stage13():
+    """Full chain (synth + fused Pallas DDC, tf32 split), K=16; plus the
+    on-chip numerics of the split vs the XLA tf32 path."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import (ddc_carrier_init, ddc_carrier_step,
+                                     direct_ddc_fir)
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+    from gpu_sdr_tpu.ops.tonegen import tone_comb_block
+    dcfg = _ddc_cfg()
+    hmod = dcfg.modulated_taps()
+    ramp = dcfg.carrier_ramp(L // dcfg.M)
+    dstep = ddc_carrier_step(dcfg, L)
+    xconst = _const_block()
+    ph = ddc_carrier_init(dcfg, L)
+    hist = cplx.zeros((dcfg.f - 1) * dcfg.M)
+    _, _, ya = jax.jit(lambda: direct_ddc_fir(
+        hmod, ramp, dstep, dcfg.rate, dcfg.M, dcfg.f, ph, hist, xconst))()
+    _, _, yb = jax.jit(lambda: ddc_fused(
+        hmod, ramp, dstep, dcfg.rate, dcfg.M, dcfg.f, ph, hist, xconst,
+        precision="tf32"))()
+    a, b = cplx.to_np(ya), cplx.to_np(yb)
+    num = float(np.sum(np.abs(a - b) ** 2))
+    den = float(np.sum(np.abs(a) ** 2))
+    print(json.dumps({"stage": "pallas_tf32_vs_xla_onchip",
+                      "rel_err_db": round(10 * np.log10(num / den), 1)
+                      if num else -999}), flush=True)
+
+    scfg = _synth_cfg()
+    P, Q = scfg.factors()
+    sstep = scfg.phase_step()
+
+    @jax.jit
+    def multi(sphase, dphase, hist):
+        def body(carry, _):
+            sph, dph, h = carry
+            sph, x = tone_comb_block(P, Q, sstep, RATE, sph)
+            dph, h, y = ddc_fused(hmod, ramp, dstep, dcfg.rate,
+                                  dcfg.M, dcfg.f, dph, h, x,
+                                  precision="tf32")
+            return (sph, dph, h), y[:1]
+        return jax.lax.scan(body, (sphase, dphase, hist), None, length=K)
+
+    args = (scfg.phase_init(), ddc_carrier_init(dcfg, L),
+            cplx.zeros((dcfg.f - 1) * dcfg.M))
+    dt, cs = timeit(multi, args)
+    report("full_chain_pallas_tf32_K16", dt, cs, samples=K * L,
+           cmacs=K * L * (PFA + 1) * CTONES)
+
+
+def stage11():
+    """On-chip numerics: fused Pallas kernel vs the XLA path, one block."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import (ddc_carrier_init, ddc_carrier_step,
+                                     direct_ddc_fir)
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+    cfg = _ddc_cfg()
+    hmod = cfg.modulated_taps()
+    ramp = cfg.carrier_ramp(L // cfg.M)
+    stepv = ddc_carrier_step(cfg, L)
+    xconst = _const_block()
+    ph = ddc_carrier_init(cfg, L)
+    hist = cplx.zeros((cfg.f - 1) * cfg.M)
+    _, _, ya = jax.jit(lambda: direct_ddc_fir(
+        hmod, ramp, stepv, cfg.rate, cfg.M, cfg.f, ph, hist, xconst))()
+    _, _, yb = jax.jit(lambda: ddc_fused(
+        hmod, ramp, stepv, cfg.rate, cfg.M, cfg.f, ph, hist, xconst))()
+    a, b = cplx.to_np(ya), cplx.to_np(yb)
+    num = float(np.sum(np.abs(a - b) ** 2))
+    den = float(np.sum(np.abs(a) ** 2))
+    print(json.dumps({"stage": "pallas_vs_xla_onchip",
+                      "rel_err_db": round(10 * np.log10(num / den), 1)
+                      if num else -999}), flush=True)
+
+
 def main():
     from gpu_sdr_tpu.config import configure_precision
     configure_precision()
