@@ -40,22 +40,69 @@ class FusedLoopback:
         self.gen = make_generator(self.tx,
                                   block_len=self.demod.plan.block_len)
         K = self.blocks_per_exec
-        gen_step = self.gen.step
-        demod_step = self.demod.step
+        chain = self._try_tones_direct_chain()
+        if chain is not None:
+            # single-kernel synth+DDC chain (ops/pallas_chain.py): the comb
+            # never touches HBM, the K-block loop is a kernel grid axis
+            # (no lax.scan, no per-block output-stacking copies), and the
+            # streaming state is three phase vectors
+            self._init_states = lambda: (chain.init_state(), ())
+            nb = self.demod.plan.block_len // int(self.rx.decim)
+            Cp = self.demod.n_channels
 
-        def body(carry, _):
-            gstate, dstate = carry
-            gstate, x = gen_step(gstate)
-            dstate, y = demod_step(dstate, x)
-            return (gstate, dstate), y
+            @jax.jit
+            def multi(gstate, dstate):
+                gstate, y = chain.multi_step(gstate, K)
+                return gstate, dstate, y.reshape(K, nb, Cp)
+        else:
+            gen_step = self.gen.step
+            demod_step = self.demod.step
+            self._init_states = lambda: (self.gen.init_state(),
+                                         self.demod.init_state())
 
-        @jax.jit
-        def multi(gstate, dstate):
-            (gstate, dstate), ys = jax.lax.scan(
-                body, (gstate, dstate), None, length=K)
-            return gstate, dstate, ys
+            def body(carry, _):
+                gstate, dstate = carry
+                gstate, x = gen_step(gstate)
+                dstate, y = demod_step(dstate, x)
+                return (gstate, dstate), y
+
+            @jax.jit
+            def multi(gstate, dstate):
+                (gstate, dstate), ys = jax.lax.scan(
+                    body, (gstate, dstate), None, length=K)
+                return gstate, dstate, ys
 
         self._multi = multi
+
+    def _try_tones_direct_chain(self):
+        """Build the single-kernel TONES->DIRECT chain when it applies:
+        matmul-synthesized comb (wavetable combs already cost nothing),
+        no burst gating, decimating DIRECT RX, tileable geometry."""
+        tx, rx = self.tx, self.rx
+        if not (tx.wave_type and tx.wave_type[0] == WaveType.TONES
+                and rx.wave_type and rx.wave_type[0] == WaveType.DIRECT):
+            return None
+        if tx.burst_on > 0 or int(rx.decim) <= 0 or int(rx.pf_average) < 2:
+            return None
+        from ..ops.tonegen import comb_period
+        freqs = tuple(int(f) for f in tx.freq)
+        if not freqs:
+            return None
+        L = self.demod.plan.block_len
+        period = comb_period(freqs, tx.rate)
+        if L % period == 0 and period <= (1 << 22):
+            return None         # constant comb: the plain fused path wins
+        ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
+        from ..ops.ddc import DirectDDCConfig
+        from ..ops.pallas_chain import TonesDirectChain
+        rx_freqs = tuple(int(f) for f in rx.freq)
+        dcfg = DirectDDCConfig(
+            rate=int(rx.rate), decim=int(rx.decim),
+            pf_average=int(rx.pf_average), freqs=rx_freqs,
+            phases=(0,) * len(rx_freqs))
+        chain = TonesDirectChain(rate=int(tx.rate), tx_freqs=freqs,
+                                 tx_ampls=ampls, cfg=dcfg, block_len=L)
+        return chain if chain.ok else None
 
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
@@ -66,8 +113,7 @@ class FusedLoopback:
         n_exec = max(1, -(-plan.n_blocks // K))
         for s in sinks:
             s.on_start(self.demod.n_channels, plan.total_out_rows)
-        gstate = self.gen.init_state()
-        dstate = self.demod.init_state()
+        gstate, dstate = self._init_states()
         rows = 0
         pkt = 0
         t0 = time.perf_counter()

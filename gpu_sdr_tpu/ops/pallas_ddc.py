@@ -119,11 +119,18 @@ def _kernel(f: int, M: int, R: int, split: bool, xr_ref, xi_ref, lr_ref,
 
 def _pick_rows(nb: int, M: int, Cn: int) -> int:
     """Tile height: a divisor of nb, multiple of 8, small enough that the
-    double-buffered in/out/ramp tiles stay within ~10 MB of VMEM.  Prefers
-    32-aligned candidates (the measured sweet spot for streamed tiles,
-    tools/perf_bt_sweep.py).  Returns 0 when no tiling exists."""
-    bytes_per_row = 16 * M + 32 * Cn        # x(2 bufs) + y + ramp, re+im
-    cap = max(8, (10 * 2 ** 20) // max(bytes_per_row, 1))
+    double-buffered in/out/ramp tiles plus the kernel's split temporaries
+    stay within ~9 MB of the 16 MB scoped VMEM.  Lane dims are padded to
+    128 on chip (a (R, 1) block still occupies 128 lanes), so the budget
+    counts PADDED widths.  Prefers 32-aligned candidates (the measured
+    sweet spot for streamed tiles, tools/perf_bt_sweep.py).  Returns 0
+    when no tiling exists."""
+    Mp = -(-M // 128) * 128
+    Cp = -(-Cn // 128) * 128
+    # x (f32, re+im, double-buffered) + ext/split temporaries (f32 + bf16)
+    # + y and ramp tiles (f32, re+im, double-buffered)
+    bytes_per_row = 16 * Mp + 24 * Mp + 32 * Cp
+    cap = max(8, (9 * 2 ** 20) // max(bytes_per_row, 1))
     cands = []
     for d in range(1, int(np.sqrt(nb)) + 1):
         if nb % d == 0:

@@ -65,3 +65,34 @@ def test_fused_vna_chirp():
     s21 = sink.data[:, 0]
     assert np.allclose(s21.real, 1.0, atol=1e-4)
     assert np.allclose(s21.imag, 0.0, atol=1e-4)
+
+
+def test_fused_tones_direct_single_kernel_chain():
+    """Off-grid (non-periodic) combs dispatch onto the single-kernel
+    TONES->DIRECT chain (ops/pallas_chain.py) and match the host pipeline
+    at the tensorfloat32 grade."""
+    from gpu_sdr_tpu import golden
+    rate, n_tones = 1_000_000, 3
+    freqs = [12_345, -67_891, 300_001]          # gcd 1 -> period == rate
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=100_000,
+                       samples=400_000, freq=freqs,
+                       ampl=[1.0 / n_tones] * n_tones,
+                       wave_type=[WaveType.TONES] * n_tones, delay=1.0)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=100_000,
+                       samples=400_000, freq=freqs, decim=100,
+                       pf_average=4,
+                       wave_type=[WaveType.DIRECT] * n_tones, delay=1.0)
+    fused = FusedLoopback(tx, rx, blocks_per_exec=2)
+    assert fused._init_states()[1] == (), "chain path must be selected"
+    sink_f = MemorySink()
+    fused.run([sink_f])
+
+    demod = make_demodulator(rx)
+    gen = make_generator(tx, block_len=demod.plan.block_len)
+    sink_h = MemorySink()
+    run_pipeline(demod, LoopbackSource(gen), [sink_h])
+
+    a, b = sink_f.data, sink_h.data
+    n = min(len(a), len(b))
+    assert n > 0
+    assert golden.snr_db(b[:n], a[:n]) > 85.0

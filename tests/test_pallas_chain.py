@@ -1,0 +1,134 @@
+"""Single-kernel fused TONES->DIRECT chain (interpret mode) vs the
+composed reference path (tone_comb_block -> direct_ddc_fir)."""
+
+import jax
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu import golden
+from gpu_sdr_tpu.ops import cplx
+from gpu_sdr_tpu.ops.ddc import (DirectDDCConfig, ddc_carrier_init,
+                                 ddc_carrier_step, direct_ddc_fir)
+from gpu_sdr_tpu.ops.pallas_chain import TonesDirectChain
+from gpu_sdr_tpu.ops.tonegen import ToneCombConfig, tone_comb_block
+
+
+def composed_blocks(rate, tx_freqs, ampls, dcfg, L, n_blocks):
+    """Reference path: XLA comb synthesis feeding the XLA DDC+FIR."""
+    scfg = ToneCombConfig(rate=rate, freqs=tx_freqs, ampls=ampls,
+                          block_len=L)
+    P, Q = scfg.factors()
+    sstep = scfg.phase_step()
+    hmod = dcfg.modulated_taps()
+    ramp = dcfg.carrier_ramp(L // dcfg.M)
+    dstep = ddc_carrier_step(dcfg, L)
+    sph = scfg.phase_init()
+    dph = ddc_carrier_init(dcfg, L)
+    hist = cplx.zeros((dcfg.f - 1) * dcfg.M)
+    outs = []
+    for _ in range(n_blocks):
+        sph, x = tone_comb_block(P, Q, sstep, rate, sph)
+        dph, hist, y = direct_ddc_fir(hmod, ramp, dstep, dcfg.rate,
+                                      dcfg.M, dcfg.f, dph, hist, x)
+        outs.append(cplx.to_np(y))
+    return np.concatenate(outs, axis=0)
+
+
+@pytest.mark.parametrize("n_tx,n_rx,M,f,L", [
+    (5, 3, 10, 4, 480),
+    (2, 2, 16, 2, 512),
+    (4, 1, 8, 8, 1024),
+])
+def test_chain_matches_composed(n_tx, n_rx, M, f, L):
+    rate = 10_000
+    tx_freqs = tuple(int(x) for x in np.linspace(-3000, 3000, n_tx))
+    ampls = tuple(0.3 + 0.1 * i for i in range(n_tx))
+    rx_freqs = tx_freqs[:n_rx]
+    dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=rx_freqs, phases=(0,) * n_rx)
+    ref = composed_blocks(rate, tx_freqs, ampls, dcfg, L, 4)
+    chain = TonesDirectChain(rate=rate, tx_freqs=tx_freqs, tx_ampls=ampls,
+                             cfg=dcfg, block_len=L, interpret=True)
+    assert chain.ok
+    state = chain.init_state()
+    outs = []
+    step = jax.jit(chain.step)
+    for _ in range(4):
+        state, y = step(state)
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs, axis=0)
+    assert out.shape == ref.shape
+    snr = golden.snr_db(ref, out)
+    assert snr > 80.0, snr
+
+
+def test_chain_first_block_zero_history():
+    """Block 0's FIR history must be zero (not synthesized from a
+    nonexistent block -1): its first outputs match the composed path."""
+    rate, M, f, L = 10_000, 10, 4, 480
+    tx_freqs = (1000, -2000)
+    ampls = (0.5, 0.25)
+    dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=tx_freqs, phases=(0, 0))
+    ref = composed_blocks(rate, tx_freqs, ampls, dcfg, L, 1)
+    chain = TonesDirectChain(rate=rate, tx_freqs=tx_freqs, tx_ampls=ampls,
+                             cfg=dcfg, block_len=L, interpret=True)
+    state = chain.init_state()
+    _, y = chain.step(state)
+    out = cplx.to_np(y)
+    assert golden.snr_db(ref, out) > 80.0
+
+
+def test_chain_matches_golden_end_to_end():
+    """Chain output vs the float64 numpy oracle over several blocks."""
+    rate, M, f, L = 10_000, 10, 4, 800
+    tx_freqs = (1000, -2500, 400)
+    ampls = (0.5, 0.3, 0.2)
+    dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=tx_freqs, phases=(0,) * 3)
+    n_blocks = 3
+    x = golden.tone_block(tx_freqs, ampls, rate, 0, n_blocks * L)
+    gold = golden.GoldenDirectDemodulator(tx_freqs, rate, M, f)
+    ref = np.concatenate(
+        [gold(x[i * L:(i + 1) * L]) for i in range(n_blocks)], axis=1)
+    chain = TonesDirectChain(rate=rate, tx_freqs=tx_freqs, tx_ampls=ampls,
+                             cfg=dcfg, block_len=L, interpret=True)
+    state = chain.init_state()
+    outs = []
+    for _ in range(n_blocks):
+        state, y = chain.step(state)
+        outs.append(cplx.to_np(y).T)
+    out = np.concatenate(outs, axis=1)
+    assert out.shape == ref.shape
+    assert golden.snr_db(ref, out) > 85.0
+
+
+def test_chain_untileable_geometry_rejected():
+    dcfg = DirectDDCConfig(rate=10_000, decim=7, pf_average=4,
+                           freqs=(100,), phases=(0,))
+    chain = TonesDirectChain(rate=10_000, tx_freqs=(100,), tx_ampls=(1.0,),
+                             cfg=dcfg, block_len=7 * 13, interpret=True)
+    assert not chain.ok
+
+
+def test_chain_multi_step_equals_sequential():
+    """multi_step(state, K) must produce exactly the K sequential step()
+    outputs (same kernel, same rotations, no carry drift)."""
+    rate, M, f, L = 10_000, 10, 4, 480
+    tx_freqs = (1234, -2777, 401)
+    ampls = (0.5, 0.3, 0.2)
+    dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=tx_freqs[:2], phases=(0, 0))
+    chain = TonesDirectChain(rate=rate, tx_freqs=tx_freqs, tx_ampls=ampls,
+                             cfg=dcfg, block_len=L, interpret=True)
+    assert chain.ok
+    st = chain.init_state()
+    seq = []
+    for _ in range(3):
+        st, y = chain.step(st)
+        seq.append(cplx.to_np(y))
+    st2 = chain.init_state()
+    st2, ym = chain.multi_step(st2, 3)
+    assert np.array_equal(np.concatenate(seq, axis=0), cplx.to_np(ym))
+    assert np.array_equal(np.asarray(st[0]), np.asarray(st2[0]))
+    assert np.array_equal(np.asarray(st[1]), np.asarray(st2[1]))

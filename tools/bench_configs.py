@@ -24,8 +24,7 @@ def time_chain(tx, rx, K, target_samples=1_024_000_000):
     from gpu_sdr_tpu.engine.fused import FusedLoopback
     fl = FusedLoopback(tx, rx, blocks_per_exec=K)
     B = fl.demod.plan.block_len
-    gstate = fl.gen.init_state()
-    dstate = fl.demod.init_state()
+    gstate, dstate = fl._init_states()
     t0 = time.perf_counter()
     gstate, dstate, ys = fl._multi(gstate, dstate)
     jax.block_until_ready(ys)

@@ -432,6 +432,61 @@ def stage13():
            cmacs=K * L * (PFA + 1) * CTONES)
 
 
+def stage14():
+    """Single-kernel TONES->DIRECT chain (ops/pallas_chain.py), K=16,
+    plus numerics vs the composed XLA path."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import (ddc_carrier_init, ddc_carrier_step,
+                                     direct_ddc_fir)
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectChain
+    from gpu_sdr_tpu.ops.tonegen import tone_comb_block
+    fr = freqs100()
+    dcfg = _ddc_cfg()
+    chain = TonesDirectChain(rate=RATE, tx_freqs=fr,
+                             tx_ampls=(0.01,) * CTONES, cfg=dcfg,
+                             block_len=L)
+    assert chain.ok, "chain geometry must tile"
+
+    # numerics: one block vs composed XLA synth + XLA DDC
+    scfg = _synth_cfg()
+    P, Q = scfg.factors()
+    sstep = scfg.phase_step()
+    hmod = dcfg.modulated_taps()
+    ramp = dcfg.carrier_ramp(L // dcfg.M)
+    dstep = ddc_carrier_step(dcfg, L)
+
+    @jax.jit
+    def composed():
+        _, x = tone_comb_block(P, Q, sstep, RATE, scfg.phase_init())
+        _, _, y = direct_ddc_fir(
+            hmod, ramp, dstep, dcfg.rate, dcfg.M, dcfg.f,
+            ddc_carrier_init(dcfg, L), cplx.zeros((dcfg.f - 1) * dcfg.M),
+            x)
+        return y
+    ya = cplx.to_np(composed())
+    _, yb = jax.jit(chain.step)(chain.init_state())
+    b = cplx.to_np(yb)
+    num = float(np.sum(np.abs(ya - b) ** 2))
+    den = float(np.sum(np.abs(ya) ** 2))
+    print(json.dumps({"stage": "chain_vs_composed_onchip",
+                      "rel_err_db": round(10 * np.log10(num / den), 1)
+                      if num else -999}), flush=True)
+
+    chain_step = chain.step
+
+    @jax.jit
+    def multi(state):
+        def body(st, _):
+            st, y = chain_step(st)
+            return st, y[:1]
+        return jax.lax.scan(body, state, None, length=K)
+
+    dt, cs = timeit(multi, (chain.init_state(),))
+    report("full_chain_single_kernel_K16", dt, cs, samples=K * L,
+           cmacs=K * L * (PFA + 1) * CTONES)
+
+
 def stage11():
     """On-chip numerics: fused Pallas kernel vs the XLA path, one block."""
     import jax
