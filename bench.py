@@ -53,13 +53,12 @@ def _enable_compile_cache():
 
 def bench_loopback_1000(n_blocks: int = 512,
                         block_len: int = 4_000_000,
-                        blocks_per_exec: int = 64):
-    """Defaults: lax.scan chains 64 blocks of 4 Msamples per device
-    execution, amortizing this rig's per-execution relay overhead.
-    K-sweep at the framework's tensorfloat32 default: dense-DFT 64x4M
-    3954 Msps; two-stage DFT 64x4M 4793; with reference-faithful
-    bin-quantized tones the comb synthesis becomes a wavetable constant
-    (see docs/05_performance.md for the ladder)."""
+                        blocks_per_exec: int = 32):
+    """Defaults: lax.scan chains 32 blocks of 4 Msamples per device
+    execution (tools/perf_headline_sweep.py: 32x4M 10381 / 64x4M 10282 /
+    32x8M 7824 Msps).  With reference-faithful bin-quantized tones the
+    comb synthesis is a wavetable constant (see docs/05_performance.md
+    for the full ladder)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
