@@ -98,6 +98,16 @@ class ShardedDDC:
         time_ax = "time" if "time" in mesh.axis_names else None
         ch_ax = "channels" if "channels" in mesh.axis_names else None
 
+        # per-shard fused Pallas DDC (ops/pallas_ddc.py) when the local
+        # geometry tiles — the shard-local compute is identical to the
+        # single-chip kernel; only the halo source (ppermute) differs
+        from ..config import use_pallas_pfb
+        from ..ops.pallas_ddc import _pallas_ddc, _pick_rows
+        Cloc = cfg.n_channels // self.Kc
+        rows = _pick_rows(nbt, M, Cloc)
+        fused = (use_pallas_pfb() and f >= 2 and rows > 0 and
+                 nbt % rows == 0 and f - 1 <= rows and H > 0)
+
         def spmd_step(phase, carry, x, hmod, ramp, shardrot, step):
             """Per-device shapes: phase (C/Kc,), carry (H,), x (Lt,),
             hmod (f*M, C/Kc), ramp (nbt, C/Kc), shardrot (1, C/Kc)."""
@@ -114,17 +124,26 @@ class ShardedDDC:
                 halo, new_carry = carry, x[-H:]
             else:
                 halo, new_carry = carry, carry
-            ze = cplx.concat([halo, x]) if H else x
-            X = ze.reshape(nbt + f - 1, M)
-            acc = cplx.zeros((nbt, hmod.shape[1]), dtype=x.re.dtype)
-            for j in range(f):
-                acc = acc + cplx.matmul(X[j:j + nbt, :],
-                                        hmod[j * M:(j + 1) * M, :])
             theta = phase.astype(jnp.float32) * jnp.float32(2 * np.pi / W)
             rot = cplx.expi_neg(theta)
-            carrier = cplx.mul(ramp, C(rot.re[None, :], rot.im[None, :]))
-            carrier = cplx.mul(carrier, shardrot)
-            y = cplx.mul(acc, carrier)
+            if fused:
+                rot_eff = cplx.mul(C(rot.re[None, :], rot.im[None, :]),
+                                   shardrot)
+                y = _pallas_ddc(hmod, hmod.re + hmod.im, ramp, rot_eff,
+                                halo, x, M, f, rows,
+                                interpret=jax.default_backend()
+                                not in ("tpu", "axon"), split=True)
+            else:
+                ze = cplx.concat([halo, x]) if H else x
+                X = ze.reshape(nbt + f - 1, M)
+                acc = cplx.zeros((nbt, hmod.shape[1]), dtype=x.re.dtype)
+                for j in range(f):
+                    acc = acc + cplx.matmul(X[j:j + nbt, :],
+                                            hmod[j * M:(j + 1) * M, :])
+                carrier = cplx.mul(ramp, C(rot.re[None, :],
+                                           rot.im[None, :]))
+                carrier = cplx.mul(carrier, shardrot)
+                y = cplx.mul(acc, carrier)
             new_phase = phase + step
             new_phase = jnp.where(new_phase >= W, new_phase - W, new_phase)
             return new_phase, new_carry, y

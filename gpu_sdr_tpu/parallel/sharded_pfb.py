@@ -84,6 +84,14 @@ class ShardedPFB:
         Kc = self.Kc
         select = self.bins is not None
 
+        # Pallas one-pass pre-sum on the local tile when the per-shard
+        # geometry tiles (same gate as the fused chain, fused_sharded.py)
+        from ..config import use_pallas_pfb
+        from ..ops.pallas_pfb import _HALO_PAD, _pick_bt, pallas_presum
+        bt = _pick_bt(ft, nfft)
+        fused_presum = (use_pallas_pfb() and bt > 0 and H > 0 and
+                        avg - 1 <= min(_HALO_PAD, bt))
+
         def spmd_step(carry, x, window, F, owners, local_idx):
             """Local shapes: carry (H,), x (Lt,), window (nfft*avg,),
             F (nfft, nfft/Kc); owners/local_idx (n_tones,) replicated
@@ -101,12 +109,17 @@ class ShardedPFB:
                 halo, new_carry = carry, x[-H:]
             else:
                 halo, new_carry = carry, carry
-            ze = cplx.concat([halo, x]) if H else x
-            X = ze.reshape(ft + avg - 1, nfft)
             W = window.reshape(avg, nfft)
-            pre = cplx.zeros((ft, nfft), dtype=x.re.dtype)
-            for i in range(avg):
-                pre = pre + cplx.scale(X[i:i + ft, :], W[i][None, :])
+            if fused_presum:
+                # leading-halo form: no concat([halo, x]) HBM round trip
+                pre = pallas_presum(W, halo.reshape(avg - 1, nfft),
+                                    x.reshape(ft, nfft), bt=bt)
+            else:
+                ze = cplx.concat([halo, x]) if H else x
+                X = ze.reshape(ft + avg - 1, nfft)
+                pre = cplx.zeros((ft, nfft), dtype=x.re.dtype)
+                for i in range(avg):
+                    pre = pre + cplx.scale(X[i:i + ft, :], W[i][None, :])
             frames = cplx.matmul(pre, F)          # (ft, nfft/Kc)
             if select:
                 # owner-local tone select + one psum over the channel axis

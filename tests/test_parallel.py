@@ -74,3 +74,27 @@ def test_sharded_matches_single_device():
                               phase, hist, cplx.from_np(x))
     a, b = cplx.to_np(y_sh), cplx.to_np(y1)
     assert golden.snr_db(b, a) > 110.0
+
+
+def test_sharded_ddc_pallas_path_matches_golden(monkeypatch):
+    """Force the per-shard fused Pallas DDC (interpret mode on CPU) and
+    check golden parity incl. ppermute halos and cross-block carry."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate, decim, pfa = 1_000_000, 10, 4
+    freqs = tuple(int(f) for f in np.linspace(-400_000, 400_000, 8))
+    L = 80_000
+    cfg = DirectDDCConfig(rate=rate, decim=decim, pf_average=pfa,
+                          freqs=freqs, phases=(0,) * 8)
+    mesh = make_mesh((2, 4), ("time", "channels"))
+    sd = ShardedDDC(cfg, mesh, L)
+    blocks = [(RNG.standard_normal(L) + 1j * RNG.standard_normal(L))
+              .astype(np.complex64) for _ in range(3)]
+    state = sd.init_state()
+    outs = []
+    for b in blocks:
+        state, y = sd.step(state, sd.shard_input(b))
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs, axis=0)
+    ref = golden_ref(list(freqs), rate, decim, pfa, blocks)
+    snr = golden.snr_db(ref, out)
+    assert snr > 88.0, f"SNR {snr:.1f} dB"
