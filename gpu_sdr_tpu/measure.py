@@ -148,20 +148,21 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
             tx = params.antenna(tx_name) if tx_name else None
             if tx is not None and can_fuse_sharded(tx, rx, mesh) and \
                     rx.delay <= tx.delay:
-                sinks = list(extra_sinks)
-                if filename is not None:
-                    h5 = H5Sink(filename, params, ant_name=rx_name,
-                                trigger=trigger, **tags)
-                    sinks.append(h5)
-                    out_name = h5.filename
                 L, nb = plan_sharded_block(rx, mesh)
                 sf = make_sharded_fused(tx, rx, mesh,
                                         blocks_per_exec=min(8, nb),
                                         block_len=L)
-                res = sf.run(sinks, usrp_number=params.usrp_number,
-                             front_end=rx_name[0], n_blocks=nb)
-                results.append(res)
-                continue
+                if sf is not None:     # None: untileable -> non-fused path
+                    sinks = list(extra_sinks)
+                    if filename is not None:
+                        h5 = H5Sink(filename, params, ant_name=rx_name,
+                                    trigger=trigger, **tags)
+                        sinks.append(h5)
+                        out_name = h5.filename
+                    res = sf.run(sinks, usrp_number=params.usrp_number,
+                                 front_end=rx_name[0], n_blocks=nb)
+                    results.append(res)
+                    continue
         demod = make_demodulator(rx, mesh=mesh)
         if source is not None:
             src = source

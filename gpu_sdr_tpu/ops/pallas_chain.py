@@ -172,6 +172,7 @@ class TonesDirectChain:
     block_len: int
     scale: float = 1.0
     interpret: bool | None = None
+    time_shards: int = 1     # tile rows must divide the per-shard rows
 
     def __post_init__(self):
         W, L, M, f = self.rate, self.block_len, self.cfg.M, self.cfg.f
@@ -180,10 +181,11 @@ class TonesDirectChain:
         Ct = len(self.tx_freqs)
         Cp = self.cfg.n_channels
         self.nb, self.Ct, self.Cp = nb, Ct, Cp
-        self.R = _pick_rows(nb, M, Ct, Cp)
+        nbt = nb // self.time_shards if nb % self.time_shards == 0 else 0
+        self.R = _pick_rows(nbt, M, Ct, Cp) if nbt else 0
         self.lead = f - 1
         self.ok = bool(self.R) and f >= 2 and self.lead <= _HALO_PAD \
-            and self.lead <= self.R and nb % self.R == 0
+            and self.lead <= self.R and nbt and nbt % self.R == 0
         if not self.ok:
             return
         # P (nb, Ct), Q (Ct, M) from exact integer phases; halo rows of P
@@ -225,22 +227,12 @@ class TonesDirectChain:
         s = np.asarray(step_np, dtype=np.int64)[None, :]
         return jnp.asarray(((k * s) % W).astype(np.int32))
 
-    def multi_step(self, state, K: int):
-        """Demodulate K consecutive blocks in ONE kernel invocation.
-
-        Returns (state', y) with y of shape (K*nb, Cp).  The per-block
-        rotations are closed-form from the carried phases, so the K-block
-        loop is a grid axis, not a scan — the kernel writes each tile
-        straight into the stacked output (no per-block copy)."""
-        import jax.experimental.pallas as pl
+    def block_rotations(self, state, K: int):
+        """(state', srots, hrots, drots): per-block rotation rows for K
+        consecutive blocks, each x8-row-replicated (Mosaic 8-sublane
+        block granularity; the kernel reads row 0)."""
         sph, dph, pv = state
-        W, M, f, R = self.rate, self.cfg.M, self.cfg.f, self.R
-        nb, Ct, Cp = self.nb, self.Ct, self.Cp
-        nr = nb // R
-        interpret = self.interpret
-        if interpret is None:
-            interpret = jax.default_backend() not in ("tpu", "axon")
-
+        W, Ct, Cp = self.rate, self.Ct, self.Cp
         two_pi_w = jnp.float32(2.0 * np.pi / W)
         soffs = self._phase_offsets(np.asarray(self._sstep), K, Ct)
         sphs = sph[None, :] + soffs                  # < 2W, fits int32
@@ -260,16 +252,32 @@ class TonesDirectChain:
         dphs = jnp.where(dphs >= W, dphs - W, dphs)
         drots = cplx.expi_neg(dphs.astype(jnp.float32) * two_pi_w)
 
-        # rotation rows replicated x8 so each (8, C) block satisfies
-        # Mosaic's 8-sublane granularity; the kernel reads row 0
-        rep8 = lambda a: jnp.repeat(a, 8, axis=0)
-        srots = C(rep8(srots.re), rep8(srots.im))
-        hrots = C(rep8(hrots.re), rep8(hrots.im))
-        drots = C(rep8(drots.re), rep8(drots.im))
+        rep8 = lambda a: C(jnp.repeat(a.re, 8, axis=0),
+                           jnp.repeat(a.im, 8, axis=0))
+        sK = self._phase_offsets(np.asarray(self._sstep), K + 1, Ct)[K]
+        dK = self._phase_offsets(np.asarray(self._dstep), K + 1, Cp)[K]
+        new_sph = sph + sK
+        new_sph = jnp.where(new_sph >= W, new_sph - W, new_sph)
+        new_dph = dph + dK
+        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
+        state = (new_sph, new_dph, jnp.float32(1.0))
+        return state, rep8(srots), rep8(hrots), rep8(drots)
+
+    def invoke(self, P, lP, Q, Qs, hmod, hsum, ramp, srots, hrots,
+               drots, K: int, interpret: bool | None = None):
+        """Run the kernel over K blocks of (possibly shard-local)
+        operands; returns y (K * P.shape[0], hmod.shape[1])."""
+        import jax.experimental.pallas as pl
+        M, f, R = self.cfg.M, self.cfg.f, self.R
+        nb_loc = P.shape[0]
+        Ct, Cp = P.shape[1], hmod.shape[1]
+        nr = nb_loc // R
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
 
         kernel = functools.partial(_kernel, f, M, R, self.lead, nr)
-        out_shape = (jax.ShapeDtypeStruct((K * nb, Cp), jnp.float32),
-                     jax.ShapeDtypeStruct((K * nb, Cp), jnp.float32))
+        out_shape = (jax.ShapeDtypeStruct((K * nb_loc, Cp), jnp.float32),
+                     jax.ShapeDtypeStruct((K * nb_loc, Cp), jnp.float32))
         per_blk = lambda r: (r // nr, 0)             # (K*8, C) rotation rows
         in_blk = lambda r: (r % nr, 0)               # per-block-local tiles
         y_re, y_im = pl.pallas_call(
@@ -301,19 +309,23 @@ class TonesDirectChain:
             ),
             out_shape=out_shape,
             interpret=interpret,
-        )(self._P.re, self._P.im, self._lP.re, self._lP.im,
-          self._Q.re, self._Q.im, self._Qs,
-          self._hmod.re, self._hmod.im, self._hsum,
-          self._ramp.re, self._ramp.im,
+        )(P.re, P.im, lP.re, lP.im, Q.re, Q.im, Qs,
+          hmod.re, hmod.im, hsum, ramp.re, ramp.im,
           srots.re, srots.im, hrots.re, hrots.im, drots.re, drots.im)
+        return C(y_re, y_im)
 
-        sK = self._phase_offsets(np.asarray(self._sstep), K + 1, Ct)[K]
-        dK = self._phase_offsets(np.asarray(self._dstep), K + 1, Cp)[K]
-        new_sph = sph + sK
-        new_sph = jnp.where(new_sph >= W, new_sph - W, new_sph)
-        new_dph = dph + dK
-        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
-        return (new_sph, new_dph, jnp.float32(1.0)), C(y_re, y_im)
+    def multi_step(self, state, K: int):
+        """Demodulate K consecutive blocks in ONE kernel invocation.
+
+        Returns (state', y) with y of shape (K*nb, Cp).  The per-block
+        rotations are closed-form from the carried phases, so the K-block
+        loop is a grid axis, not a scan — the kernel writes each tile
+        straight into the stacked output (no per-block copy)."""
+        state, srots, hrots, drots = self.block_rotations(state, K)
+        y = self.invoke(self._P, self._lP, self._Q, self._Qs,
+                        self._hmod, self._hsum, self._ramp,
+                        srots, hrots, drots, K, self.interpret)
+        return state, y
 
     def step(self, state):
         """One block: (state', y (nb, Cp))."""

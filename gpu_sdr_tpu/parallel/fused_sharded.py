@@ -384,6 +384,109 @@ class ShardedFusedVNA:
     _drain = ShardedFusedLoopback._drain
 
 
+@dataclasses.dataclass
+class ShardedFusedDirect:
+    """Sharded K-block TONES->DIRECT chain — ZERO collectives.
+
+    The single-kernel chain (ops/pallas_chain.TonesDirectChain) shards
+    embarrassingly: P/ramp rows split over 'time', tap/ramp columns over
+    'channels', and — because a block's leading FIR-history halo is
+    RE-SYNTHESIZED from the constant P with the previous block's rotation
+    rather than exchanged — time sharding needs no ppermute at all (the
+    cross-shard halo rows are constants staged at build).  Only the halo
+    ROTATION differs per shard: shard 0's first tile wraps to the
+    previous block (prev rotation), other shards' first tiles wrap to the
+    previous shard's rows of the same block (current rotation).
+    """
+
+    tx: AntennaParams
+    rx: AntennaParams
+    mesh: Mesh
+    blocks_per_exec: int = 8
+    block_len: int = 1_000_000
+
+    def __post_init__(self):
+        from ..ops.ddc import DirectDDCConfig
+        from ..ops.pallas_chain import TonesDirectChain
+        tx, rx, mesh, L = self.tx, self.rx, self.mesh, self.block_len
+        assert tx.wave_type and tx.wave_type[0] == WaveType.TONES
+        assert rx.wave_type and rx.wave_type[0] == WaveType.DIRECT
+        self.T = mesh.shape.get("time", 1)
+        self.Kc = mesh.shape.get("channels", 1)
+        freqs = tuple(int(f) for f in tx.freq)
+        ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
+        rx_freqs = tuple(int(f) for f in rx.freq)
+        dcfg = DirectDDCConfig(
+            rate=int(rx.rate), decim=int(rx.decim),
+            pf_average=int(rx.pf_average), freqs=rx_freqs,
+            phases=(0,) * len(rx_freqs))
+        self.chain = TonesDirectChain(
+            rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls, cfg=dcfg,
+            block_len=L, time_shards=self.T)
+        self.ok = (self.chain.ok and
+                   self.chain.Cp % self.Kc == 0 and
+                   self.chain.nb % self.T == 0)
+        if not self.ok:
+            return
+        self.n_tones = self.chain.Cp             # run() metadata
+        self.ft = self.chain.nb // self.T        # output rows per shard
+        self._build()
+
+    def _build(self):
+        mesh = self.mesh
+        time_ax = "time" if "time" in mesh.axis_names else None
+        ch_ax = "channels" if "channels" in mesh.axis_names else None
+        has_time = time_ax is not None and self.T > 1
+        chain = self.chain
+        K = self.blocks_per_exec
+
+        def spmd(Pl, lPl, Q, Qs, hmod, hsum, ramp, srots, hrots, drots):
+            if has_time:
+                tidx = jax.lax.axis_index("time")
+                hr = C(jnp.where(tidx == 0, hrots.re, srots.re),
+                       jnp.where(tidx == 0, hrots.im, srots.im))
+            else:
+                hr = hrots
+            y = chain.invoke(Pl, lPl, Q, Qs, hmod, hsum, ramp,
+                             srots, hr, drots, K)
+            return y.reshape(K, Pl.shape[0], hmod.shape[1])
+
+        smapped = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(_cpair(time_ax),            # P rows
+                      _cpair(time_ax),            # lP rows (per-tile halos)
+                      _cpair(None), P(None),      # Q, Qsum (replicated)
+                      _cpair(None, ch_ax),        # taps
+                      P(None, ch_ax),             # taps sum
+                      _cpair(time_ax, ch_ax),     # ramp
+                      _cpair(None),               # srots (replicated)
+                      _cpair(None),               # hrots (replicated)
+                      _cpair(None, ch_ax)),       # drots
+            out_specs=_cpair(None, time_ax, ch_ax),
+            check_vma=False)
+
+        @jax.jit
+        def exec_fn(state):
+            state, srots, hrots, drots = chain.block_rotations(state, K)
+            ys = smapped(chain._P, chain._lP, chain._Q, chain._Qs,
+                         chain._hmod, chain._hsum, chain._ramp,
+                         srots, hrots, drots)
+            return state, ys
+
+        self._exec = exec_fn
+
+    def init_state(self):
+        return self.chain.init_state()
+
+    def run_exec(self, state):
+        """One execution: K blocks -> ys global (K, nb, C)."""
+        return self._exec(state)
+
+    # reuse the generic acquisition loop
+    run = ShardedFusedLoopback.run
+    _drain = ShardedFusedLoopback._drain
+
+
 def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,
                      mesh: Mesh) -> bool:
     """True when the (tx, rx, mesh) triple maps onto the sharded fused
@@ -400,15 +503,26 @@ def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,
         return nfft > 0 and nfft % Kc == 0
     if pair == (WaveType.CHIRP, WaveType.CHIRP):
         return int(rx.decim) >= 1 and len(rx.freq) == 1
+    if pair == (WaveType.TONES, WaveType.DIRECT):
+        Kc = mesh.shape.get("channels", 1)
+        return (int(rx.decim) > 0 and int(rx.pf_average) >= 2 and
+                len(rx.freq) > 0 and len(rx.freq) % Kc == 0)
     return False
 
 
 def make_sharded_fused(tx: AntennaParams, rx: AntennaParams, mesh: Mesh,
                        blocks_per_exec: int, block_len: int):
-    """Build the fused sharded chain for a fusable (tx, rx) pair."""
+    """Build the fused sharded chain for a fusable (tx, rx) pair.
+    Returns None when the geometry doesn't tile (callers fall back to the
+    non-fused sharded path)."""
     if rx.wave_type[0] == WaveType.CHIRP:
         return ShardedFusedVNA(tx, rx, mesh, blocks_per_exec=blocks_per_exec,
                                block_len=block_len)
+    if rx.wave_type[0] == WaveType.DIRECT:
+        sf = ShardedFusedDirect(tx, rx, mesh,
+                                blocks_per_exec=blocks_per_exec,
+                                block_len=block_len)
+        return sf if sf.ok else None
     return ShardedFusedLoopback(tx, rx, mesh,
                                 blocks_per_exec=blocks_per_exec,
                                 block_len=block_len)

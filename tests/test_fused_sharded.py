@@ -239,3 +239,92 @@ def test_sharded_fused_pallas_presum_matches_golden(monkeypatch):
     n = min(len(ref), len(out) - skip)
     snr = golden.snr_db(ref[:n], out[skip:skip + n])
     assert snr > 90.0, f"pallas sharded SNR {snr:.1f} dB"
+
+
+def _direct_params(rate, freqs, ampls, decim, pfa, L):
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=L,
+                       freq=list(freqs), ampl=list(ampls),
+                       wave_type=[WaveType.TONES] * len(freqs))
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       freq=list(freqs), decim=decim, pf_average=pfa,
+                       wave_type=[WaveType.DIRECT] * len(freqs))
+    return tx, rx
+
+
+def test_sharded_fused_direct_matches_golden():
+    """The zero-collective sharded TONES->DIRECT chain (time x channels)
+    must match the float64 oracle across executions."""
+    from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedDirect
+    rate, decim, pfa = 1_000_000, 10, 4
+    freqs = (12_345, -67_891, 300_001, -111_111)     # off-grid comb
+    ampls = (0.4, 0.3, 0.2, 0.1)
+    T, Kc = 2, 4
+    L = 80_000
+    tx, rx = _direct_params(rate, freqs, ampls, decim, pfa, L)
+    sf = ShardedFusedDirect(tx, rx, _mesh(T, Kc), blocks_per_exec=2,
+                            block_len=L)
+    assert sf.ok
+    state = sf.init_state()
+    outs = []
+    for _ in range(2):
+        state, ys = sf.run_exec(state)
+        y = cplx.to_np(ys)
+        outs.append(y.reshape(-1, y.shape[-1]))
+    out = np.concatenate(outs, axis=0)               # (rows, C)
+    x = golden.tone_block(list(freqs), list(ampls), rate, 0, 4 * L)
+    gold = golden.GoldenDirectDemodulator(list(freqs), rate, decim, pfa)
+    ref = np.concatenate([gold(x[i * L:(i + 1) * L]) for i in range(4)],
+                         axis=1).T
+    assert out.shape == ref.shape
+    snr = golden.snr_db(ref, out)
+    assert snr > 85.0, f"SNR {snr:.1f} dB"
+
+
+def test_sharded_fused_direct_matches_single_device_chain():
+    """Sharded chain == unsharded TonesDirectChain to f32 tolerance."""
+    from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectChain
+    from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedDirect
+    rate, decim, pfa = 1_000_000, 10, 4
+    freqs = (12_345, -67_891)
+    ampls = (0.5, 0.25)
+    L = 40_000
+    tx, rx = _direct_params(rate, freqs, ampls, decim, pfa, L)
+    sf = ShardedFusedDirect(tx, rx, _mesh(2, 2), blocks_per_exec=3,
+                            block_len=L)
+    assert sf.ok
+    st, ys = sf.run_exec(sf.init_state())
+    out = cplx.to_np(ys).reshape(-1, len(freqs))
+
+    dcfg = DirectDDCConfig(rate=rate, decim=decim, pf_average=pfa,
+                           freqs=freqs, phases=(0, 0))
+    chain = TonesDirectChain(rate=rate, tx_freqs=freqs, tx_ampls=ampls,
+                             cfg=dcfg, block_len=L, interpret=True)
+    st2, ym = chain.multi_step(chain.init_state(), 3)
+    ref = cplx.to_np(ym)
+    assert golden.snr_db(ref, out) > 100.0
+    assert np.array_equal(np.asarray(st[0]), np.asarray(st2[0]))
+
+
+def test_run_measurement_dispatches_sharded_direct(monkeypatch, tmp_path):
+    """run_measurement(mesh=...) with TONES->DIRECT must take the sharded
+    fused chain and produce a valid acquisition."""
+    from gpu_sdr_tpu.measure import run_measurement
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.params import UsrpParams
+    monkeypatch.chdir(tmp_path)
+    rate = 1_000_000
+    freqs = [12_345, -67_891]
+    cmd = UsrpParams()
+    cmd.A_TXRX = AntennaParams(
+        mode=AntMode.TX, rate=rate, buffer_len=40_000, samples=160_000,
+        freq=freqs, ampl=[0.5, 0.5], wave_type=[WaveType.TONES] * 2,
+        delay=1.0)
+    cmd.A_RX2 = AntennaParams(
+        mode=AntMode.RX, rate=rate, buffer_len=40_000, samples=160_000,
+        freq=freqs, decim=10, pf_average=4,
+        wave_type=[WaveType.DIRECT] * 2, delay=1.0)
+    sink = MemorySink()
+    run_measurement(cmd, None, extra_sinks=[sink], mesh=_mesh(2, 2))
+    assert sink.data is not None and sink.data.shape[1] == 2
+    assert sink.data.shape[0] >= 16_000
