@@ -76,22 +76,31 @@ class FusedLoopback:
 
     def _try_tones_direct_chain(self):
         """Build the single-kernel TONES->DIRECT chain when it applies:
-        matmul-synthesized comb (wavetable combs already cost nothing),
-        no burst gating, decimating DIRECT RX, tileable geometry."""
+        no burst gating, decimating DIRECT RX, tileable geometry.  It
+        also wins for periodic (wavetable) combs with enough tones: the
+        constant block would be re-READ every block and the scan form
+        pays the Pallas-output stacking copy, while the chain reads only
+        the (nb, C_t) P factor and writes straight into the stacked
+        output.  With few tones the in-kernel synthesis dots degenerate
+        (contraction dim C_t) and the stacking copy is negligible, so
+        small periodic combs keep the wavetable path (measured: 1 tone
+        9918 wavetable vs 8032 chain; 100 tones ~2500 scan vs ~7100
+        chain)."""
         tx, rx = self.tx, self.rx
         if not (tx.wave_type and tx.wave_type[0] == WaveType.TONES
                 and rx.wave_type and rx.wave_type[0] == WaveType.DIRECT):
             return None
         if tx.burst_on > 0 or int(rx.decim) <= 0 or int(rx.pf_average) < 2:
             return None
-        from ..ops.tonegen import comb_period
         freqs = tuple(int(f) for f in tx.freq)
         if not freqs:
             return None
         L = self.demod.plan.block_len
+        from ..ops.tonegen import comb_period
         period = comb_period(freqs, tx.rate)
-        if L % period == 0 and period <= (1 << 22):
-            return None         # constant comb: the plain fused path wins
+        if (L % period == 0 and period <= (1 << 22) and
+                min(len(freqs), len(rx.freq)) < 8):
+            return None         # small constant comb: wavetable path wins
         ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
         from ..ops.ddc import DirectDDCConfig
         from ..ops.pallas_chain import TonesDirectChain
