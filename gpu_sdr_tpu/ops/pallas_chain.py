@@ -173,6 +173,7 @@ class TonesDirectChain:
     scale: float = 1.0
     interpret: bool | None = None
     time_shards: int = 1     # tile rows must divide the per-shard rows
+    rows: int | None = None  # tile height override (perf tuning)
 
     def __post_init__(self):
         W, L, M, f = self.rate, self.block_len, self.cfg.M, self.cfg.f
@@ -182,7 +183,8 @@ class TonesDirectChain:
         Cp = self.cfg.n_channels
         self.nb, self.Ct, self.Cp = nb, Ct, Cp
         nbt = nb // self.time_shards if nb % self.time_shards == 0 else 0
-        self.R = _pick_rows(nbt, M, Ct, Cp) if nbt else 0
+        self.R = (self.rows if self.rows is not None
+                  else _pick_rows(nbt, M, Ct, Cp)) if nbt else 0
         self.lead = f - 1
         self.ok = bool(self.R) and f >= 2 and self.lead <= _HALO_PAD \
             and self.lead <= self.R and nbt and nbt % self.R == 0
