@@ -44,12 +44,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="replay IQ stream from file instead of loopback")
     p.add_argument("--clock", type=str, default="internal",
                    choices=["internal", "external"])
-    p.add_argument("--async_port", dest="async_port", type=int,
-                   default=wire.ASYNC_PORT)
-    p.add_argument("--data_port", dest="data_port", type=int,
-                   default=wire.SYNC_PORT)
+    p.add_argument("--async_port", "--async", dest="async_port", type=int,
+                   default=wire.ASYNC_PORT,
+                   help="TCP command port (reference --async)")
+    p.add_argument("--data_port", "--data", dest="data_port", type=int,
+                   default=wire.SYNC_PORT,
+                   help="TCP data port (reference --data)")
     p.add_argument("--args", type=str, default="",
                    help="device arguments (accepted for compatibility)")
+    p.add_argument("--uhd_dbg", action="store_true",
+                   help="accepted for reference CLI compatibility "
+                        "(UHD debug logging; no UHD in this build)")
     p.add_argument("--one_shot", action="store_true",
                    help="serve a single measurement then exit (testing)")
     return p
