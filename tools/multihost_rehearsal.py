@@ -1,0 +1,98 @@
+"""Multi-process (multi-"host") rehearsal of the sharded fused chain.
+
+Launched N times (once per simulated host) by tests/test_multihost.py or
+by hand:
+
+  python tools/multihost_rehearsal.py --coordinator localhost:PORT \
+      --num_processes 2 --process_id 0  &
+  python tools/multihost_rehearsal.py --coordinator localhost:PORT \
+      --num_processes 2 --process_id 1
+
+Each process exposes 4 virtual CPU devices; jax.distributed joins them
+into one 8-device "slice" and the (time, channels) mesh spans both
+processes, so the zero-collective TONES->DIRECT chain runs exactly as it
+would across pod hosts.  Every process checks ITS addressable output
+shards against the float64 golden oracle and prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+
+import numpy as np  # noqa: E402
+import jax          # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--process_id", type=int, required=True)
+    args = ap.parse_args()
+
+    from gpu_sdr_tpu.parallel.distributed import initialize_distributed
+    initialize_distributed(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+    assert len(jax.local_devices()) == 4, jax.local_devices()
+    assert jax.device_count() == 4 * args.num_processes, jax.devices()
+
+    from gpu_sdr_tpu import golden
+    from gpu_sdr_tpu.parallel import make_mesh
+    from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedDirect
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rate, decim, pfa = 1_000_000, 10, 4
+    freqs = [12_345, -67_891, 300_001, -111_111]
+    ampls = [0.4, 0.3, 0.2, 0.1]
+    L, K, n_exec = 80_000, 2, 2
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=L,
+                       freq=freqs, ampl=ampls,
+                       wave_type=[WaveType.TONES] * 4)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       freq=freqs, decim=decim, pf_average=pfa,
+                       wave_type=[WaveType.DIRECT] * 4)
+    mesh = make_mesh((2, 4), ("time", "channels"))   # spans both processes
+    sf = ShardedFusedDirect(tx, rx, mesh, blocks_per_exec=K, block_len=L)
+    assert sf.ok
+
+    # golden reference for all executions (float64 oracle)
+    nblk = n_exec * K
+    x = golden.tone_block(freqs, ampls, rate, 0, nblk * L)
+    gold = golden.GoldenDirectDemodulator(freqs, rate, decim, pfa)
+    ref = np.stack([gold(x[i * L:(i + 1) * L]).T for i in range(nblk)])
+
+    state = sf.init_state()
+    worst = 0.0
+    for e in range(n_exec):
+        state, ys = sf.run_exec(state)               # (K, nb, C) global
+        for shard in ys.re.addressable_shards:
+            sl = shard.index                         # global index tuple
+            got = np.asarray(shard.data)
+            want = ref[e * K:(e + 1) * K][sl].real.astype(np.float32)
+            num = float(np.sum((got - want) ** 2))
+            den = float(np.sum(want ** 2)) or 1.0
+            worst = max(worst, num / den)
+    snr = -10.0 * np.log10(worst) if worst else 999.0
+    ok = snr > 85.0
+    print(json.dumps({"process": args.process_id,
+                      "devices": jax.device_count(),
+                      "worst_shard_snr_db": round(snr, 1),
+                      "ok": bool(ok)}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
