@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 _applied = False
+_precision = None
 
 
 class maybe_profile:
@@ -53,12 +54,13 @@ class maybe_profile:
 def configure_precision(precision: str | None = None, force: bool = False):
     """Set the global matmul precision and enable the persistent
     compilation cache (idempotent unless force=True)."""
-    global _applied
+    global _applied, _precision
     if _applied and not force:
         return
     import jax
     p = precision or os.environ.get("GPU_SDR_TPU_MATMUL_PRECISION",
                                     "tensorfloat32")
+    _precision = p
     try:
         jax.config.update("jax_default_matmul_precision", p)
         cache_dir = os.environ.get(
@@ -87,3 +89,18 @@ def use_pallas_pfb() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def matmul_precision() -> str:
+    """The framework's resolved matmul precision ('bfloat16' /
+    'tensorfloat32' / 'float32' / 'highest')."""
+    return _precision or os.environ.get("GPU_SDR_TPU_MATMUL_PRECISION",
+                                        "tensorfloat32")
+
+
+def kernel_dot_precision() -> str:
+    """In-kernel dot mode honoring the global precision knob: Mosaic has
+    no 3-pass HIGH, so tensorfloat32 maps to the manual bf16 hi/lo split
+    and float32/highest to HIGHEST (exact f32 grade)."""
+    return ("highest" if matmul_precision() in ("float32", "highest")
+            else "tf32")

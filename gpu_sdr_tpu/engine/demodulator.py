@@ -82,15 +82,23 @@ def _build_direct(p: AntennaParams, plan: BlockPlan) -> Demodulator:
         return (ddc_ops.ddc_carrier_init(cfg, L),
                 cplx.zeros((cfg.f - 1) * cfg.M))
 
+    from ..config import kernel_dot_precision, use_pallas_pfb
     from ..ops.pallas_ddc import ddc_fused
+    use_pallas = use_pallas_pfb()          # kill switch / auto: TPU only
+    prec = kernel_dot_precision()          # honor the global matmul knob
 
     @jax.jit
     def step(state, x):
         phase, hist = state
-        # fused Pallas DDC+FIR (one HBM pass; falls back to the XLA
-        # accumulated-matmul path when the geometry doesn't tile)
-        phase, hist, y = ddc_fused(
-            hmod, ramp, step_v, cfg.rate, cfg.M, cfg.f, phase, hist, x)
+        if use_pallas:
+            # fused Pallas DDC+FIR (one HBM pass; falls back to the XLA
+            # accumulated-matmul path when the geometry doesn't tile)
+            phase, hist, y = ddc_fused(
+                hmod, ramp, step_v, cfg.rate, cfg.M, cfg.f, phase, hist,
+                x, precision=prec)
+        else:
+            phase, hist, y = ddc_ops.direct_ddc_fir(
+                hmod, ramp, step_v, cfg.rate, cfg.M, cfg.f, phase, hist, x)
         return (phase, hist), y
 
     return Demodulator(plan=plan, n_channels=len(freqs),

@@ -37,10 +37,12 @@ class FusedLoopback:
 
     def __post_init__(self):
         self.demod = make_demodulator(self.rx)
-        self.gen = make_generator(self.tx,
-                                  block_len=self.demod.plan.block_len)
         K = self.blocks_per_exec
         chain = self._try_tones_direct_chain()
+        # the chain replaces TX generation entirely — don't materialize an
+        # unused generator (a periodic comb's wavetable constant is ~MBs)
+        self.gen = None if chain is not None else make_generator(
+            self.tx, block_len=self.demod.plan.block_len)
         if chain is not None:
             # single-kernel synth+DDC chain (ops/pallas_chain.py): the comb
             # never touches HBM, the K-block loop is a kernel grid axis
@@ -92,6 +94,11 @@ class FusedLoopback:
             return None
         if tx.burst_on > 0 or int(rx.decim) <= 0 or int(rx.pf_average) < 2:
             return None
+        from ..config import kernel_dot_precision, use_pallas_pfb
+        if not use_pallas_pfb():
+            return None         # Pallas kill switch / off-TPU default
+        if kernel_dot_precision() != "tf32":
+            return None         # chain dots are tf32-grade; honor float32
         freqs = tuple(int(f) for f in tx.freq)
         if not freqs:
             return None

@@ -40,22 +40,8 @@ import numpy as np
 from . import cplx
 from .cplx import C
 from .ddc import DirectDDCConfig
-
-_HALO_PAD = 8
-
-
-def _hilo(a):
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _sdot(a_hi, a_lo, b):
-    """bf16 hi/lo split dot: a @ b at the tf32/HIGH product set."""
-    b_hi, b_lo = _hilo(b)
-    d = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
-                          preferred_element_type=jnp.float32)
-    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+from .pallas_ddc import _HALO_PAD, hilo_split as _hilo, \
+    split_dot as _sdot
 
 
 def _kernel(f: int, M: int, R: int, lead: int, nr: int,

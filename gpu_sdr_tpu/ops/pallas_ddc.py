@@ -41,6 +41,27 @@ from .ddc import direct_ddc_fir
 _HALO_PAD = 8   # Mosaic block sublane granularity: halo rows padded to 8
 
 
+def hilo_split(a):
+    """bf16 hi/lo decomposition of an f32 array (hi = bf16(a),
+    lo = bf16(a - hi))."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def split_dot(a_hi, a_lo, b):
+    """In-kernel dot at the tensorfloat32/HIGH grade via the manual bf16
+    split: hi@hi + hi@lo + lo@hi — the same product set XLA's HIGH
+    computes, which Mosaic cannot express natively (it lowers only
+    DEFAULT/HIGHEST dot precision)."""
+    b_hi, b_lo = hilo_split(b)
+    # explicit DEFAULT: bf16 inputs are one MXU pass; the global
+    # tensorfloat32 default lowers to HIGH, which Mosaic rejects
+    d = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _kernel(f: int, M: int, R: int, split: bool, xr_ref, xi_ref, lr_ref,
             li_ref, hr_ref, hi_ref, hs_ref, rr_ref, ri_ref, qr_ref,
             qi_ref, yr_ref, yi_ref):
@@ -72,24 +93,12 @@ def _kernel(f: int, M: int, R: int, split: bool, xr_ref, xi_ref, lr_ref,
     ext_s = ext_r + ext_i
 
     if split:
-        def hilo(a):
-            hi = a.astype(jnp.bfloat16)
-            lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return hi, lo
-        parts = [hilo(a) for a in (ext_r, ext_i, ext_s)]
+        parts = [hilo_split(a) for a in (ext_r, ext_i, ext_s)]
 
         def rdot(p, href, j):
             a_hi, a_lo = p
-            b = href[j * M:(j + 1) * M, :]
-            b_hi = b.astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            # explicit DEFAULT: bf16 inputs are one MXU pass; the global
-            # tensorfloat32 default lowers to HIGH, which Mosaic rejects
-            d = functools.partial(jnp.dot,
-                                  precision=jax.lax.Precision.DEFAULT,
-                                  preferred_element_type=jnp.float32)
-            return (d(a_hi[j:j + R], b_hi) + d(a_hi[j:j + R], b_lo) +
-                    d(a_lo[j:j + R], b_hi))
+            return split_dot(a_hi[j:j + R], a_lo[j:j + R],
+                             href[j * M:(j + 1) * M, :])
     else:
         parts = [(a,) for a in (ext_r, ext_i, ext_s)]
 

@@ -504,9 +504,12 @@ def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,
     if pair == (WaveType.CHIRP, WaveType.CHIRP):
         return int(rx.decim) >= 1 and len(rx.freq) == 1
     if pair == (WaveType.TONES, WaveType.DIRECT):
+        from ..config import kernel_dot_precision, use_pallas_pfb
         Kc = mesh.shape.get("channels", 1)
         return (int(rx.decim) > 0 and int(rx.pf_average) >= 2 and
-                len(rx.freq) > 0 and len(rx.freq) % Kc == 0)
+                tx.burst_on <= 0 and            # chain has no burst gate
+                len(rx.freq) > 0 and len(rx.freq) % Kc == 0 and
+                use_pallas_pfb() and kernel_dot_precision() == "tf32")
     return False
 
 

@@ -101,12 +101,14 @@ class ShardedDDC:
         # per-shard fused Pallas DDC (ops/pallas_ddc.py) when the local
         # geometry tiles — the shard-local compute is identical to the
         # single-chip kernel; only the halo source (ppermute) differs
-        from ..config import use_pallas_pfb
-        from ..ops.pallas_ddc import _pallas_ddc, _pick_rows
+        from ..config import kernel_dot_precision, use_pallas_pfb
+        from ..ops.pallas_ddc import _HALO_PAD, _pallas_ddc, _pick_rows
         Cloc = cfg.n_channels // self.Kc
         rows = _pick_rows(nbt, M, Cloc)
         fused = (use_pallas_pfb() and f >= 2 and rows > 0 and
-                 nbt % rows == 0 and f - 1 <= rows and H > 0)
+                 nbt % rows == 0 and f - 1 <= rows and
+                 f - 1 <= _HALO_PAD and H > 0)
+        split = kernel_dot_precision() == "tf32"
 
         def spmd_step(phase, carry, x, hmod, ramp, shardrot, step):
             """Per-device shapes: phase (C/Kc,), carry (H,), x (Lt,),
@@ -132,7 +134,7 @@ class ShardedDDC:
                 y = _pallas_ddc(hmod, hmod.re + hmod.im, ramp, rot_eff,
                                 halo, x, M, f, rows,
                                 interpret=jax.default_backend()
-                                not in ("tpu", "axon"), split=True)
+                                not in ("tpu", "axon"), split=split)
             else:
                 ze = cplx.concat([halo, x]) if H else x
                 X = ze.reshape(nbt + f - 1, M)

@@ -67,10 +67,11 @@ def test_fused_vna_chirp():
     assert np.allclose(s21.imag, 0.0, atol=1e-4)
 
 
-def test_fused_tones_direct_single_kernel_chain():
+def test_fused_tones_direct_single_kernel_chain(monkeypatch):
     """Off-grid (non-periodic) combs dispatch onto the single-kernel
     TONES->DIRECT chain (ops/pallas_chain.py) and match the host pipeline
     at the tensorfloat32 grade."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
     from gpu_sdr_tpu import golden
     rate, n_tones = 1_000_000, 3
     freqs = [12_345, -67_891, 300_001]          # gcd 1 -> period == rate
@@ -95,4 +96,4 @@ def test_fused_tones_direct_single_kernel_chain():
     a, b = sink_f.data, sink_h.data
     n = min(len(a), len(b))
     assert n > 0
-    assert golden.snr_db(b[:n], a[:n]) > 85.0
+    assert golden.snr_db(b[:n], a[:n]) > 90.0

@@ -277,7 +277,7 @@ def test_sharded_fused_direct_matches_golden():
                          axis=1).T
     assert out.shape == ref.shape
     snr = golden.snr_db(ref, out)
-    assert snr > 85.0, f"SNR {snr:.1f} dB"
+    assert snr > 95.0, f"SNR {snr:.1f} dB"
 
 
 def test_sharded_fused_direct_matches_single_device_chain():
@@ -309,6 +309,7 @@ def test_sharded_fused_direct_matches_single_device_chain():
 def test_run_measurement_dispatches_sharded_direct(monkeypatch, tmp_path):
     """run_measurement(mesh=...) with TONES->DIRECT must take the sharded
     fused chain and produce a valid acquisition."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
     from gpu_sdr_tpu.measure import run_measurement
     from gpu_sdr_tpu.engine.sinks import MemorySink
     from gpu_sdr_tpu.params import UsrpParams

@@ -59,7 +59,7 @@ def test_chain_matches_composed(n_tx, n_rx, M, f, L):
     out = np.concatenate(outs, axis=0)
     assert out.shape == ref.shape
     snr = golden.snr_db(ref, out)
-    assert snr > 80.0, snr
+    assert snr > 90.0, snr
 
 
 def test_chain_first_block_zero_history():
@@ -76,7 +76,7 @@ def test_chain_first_block_zero_history():
     state = chain.init_state()
     _, y = chain.step(state)
     out = cplx.to_np(y)
-    assert golden.snr_db(ref, out) > 80.0
+    assert golden.snr_db(ref, out) > 90.0
 
 
 def test_chain_matches_golden_end_to_end():
@@ -100,7 +100,7 @@ def test_chain_matches_golden_end_to_end():
         outs.append(cplx.to_np(y).T)
     out = np.concatenate(outs, axis=1)
     assert out.shape == ref.shape
-    assert golden.snr_db(ref, out) > 85.0
+    assert golden.snr_db(ref, out) > 95.0
 
 
 def test_chain_untileable_geometry_rejected():

@@ -97,4 +97,27 @@ def test_sharded_ddc_pallas_path_matches_golden(monkeypatch):
     out = np.concatenate(outs, axis=0)
     ref = golden_ref(list(freqs), rate, decim, pfa, blocks)
     snr = golden.snr_db(ref, out)
-    assert snr > 88.0, f"SNR {snr:.1f} dB"
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
+
+
+def test_sharded_ddc_pallas_long_fir_falls_back(monkeypatch):
+    """pf_average > _HALO_PAD+1 can't tile in the kernel: the sharded
+    fused gate must fall back to the XLA path, not crash."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate, decim, pfa = 1_000_000, 10, 10     # lead = 9 > _HALO_PAD = 8
+    freqs = tuple(int(f) for f in np.linspace(-400_000, 400_000, 8))
+    L = 80_000
+    cfg = DirectDDCConfig(rate=rate, decim=decim, pf_average=pfa,
+                          freqs=freqs, phases=(0,) * 8)
+    mesh = make_mesh((2, 4), ("time", "channels"))
+    sd = ShardedDDC(cfg, mesh, L)
+    blocks = [(RNG.standard_normal(L) + 1j * RNG.standard_normal(L))
+              .astype(np.complex64) for _ in range(2)]
+    state = sd.init_state()
+    outs = []
+    for b in blocks:
+        state, y = sd.step(state, sd.shard_input(b))
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs, axis=0)
+    ref = golden_ref(list(freqs), rate, decim, pfa, blocks)
+    assert golden.snr_db(ref, out) > 90.0

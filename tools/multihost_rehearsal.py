@@ -86,7 +86,7 @@ def main():
             den = float(np.sum(want ** 2)) or 1.0
             worst = max(worst, num / den)
     snr = -10.0 * np.log10(worst) if worst else 999.0
-    ok = snr > 85.0
+    ok = snr > 95.0
     print(json.dumps({"process": args.process_id,
                       "devices": jax.device_count(),
                       "worst_shard_snr_db": round(snr, 1),
