@@ -81,6 +81,10 @@ class Server:
             else:
                 self.sync = SyncServer(port=data_port, host=host)
         self.async_srv = AsyncServer(port=async_port, host=host)
+        if self.sync is not None and hasattr(self.sync, "drop_client"):
+            # command-socket drop flags the data socket for reconnect
+            # (the reference's reconnect_data + virtual_pinger watchdog)
+            self.async_srv.on_disconnect = self.sync.drop_client
         source = ReplaySource(replay) if replay else None
         self.txrx = TXRX(self.settings, sync_server=self.sync,
                          channel=channel, source=source)

@@ -43,6 +43,11 @@ class _SingleClientServer:
         self._client: Optional[socket.socket] = None
         self._client_lock = threading.Lock()
         self._stop = threading.Event()
+        # invoked (outside the lock) when a connected client goes away —
+        # the reference couples the two planes this way: a command-socket
+        # drop flags the data socket for reconnect (reconnect_data +
+        # virtual_pinger, cpp/USRP_server_network.cpp:3-4,135-161)
+        self.on_disconnect = None
 
     def _accept_loop_once(self) -> Optional[socket.socket]:
         try:
@@ -71,6 +76,7 @@ class _SingleClientServer:
         return False
 
     def drop_client(self):
+        had = False
         with self._client_lock:
             if self._client is not None:
                 try:
@@ -78,6 +84,9 @@ class _SingleClientServer:
                 except OSError:
                     pass
                 self._client = None
+                had = True
+        if had and self.on_disconnect is not None:
+            self.on_disconnect()
 
     def close(self):
         self._stop.set()

@@ -89,3 +89,38 @@ def test_dual_rx_over_tcp(tmp_chdir):
     finally:
         conn.close()
         srv.close()
+
+
+def test_client_reconnect(tmp_chdir):
+    """A client that disconnects entirely and reconnects gets served again
+    (the reference's reconnect_data/reconnect_async + virtual_pinger
+    watchdog, cpp/USRP_server_network.cpp:3-4,135-161)."""
+    srv = Server(async_port=0, data_port=0, host="127.0.0.1")
+    srv.start()
+    a_port, d_port = srv.ports
+    stop = threading.Event()
+
+    def serve():
+        while not stop.is_set():
+            srv.serve_one(timeout=0.5)
+
+    worker = threading.Thread(target=serve, daemon=True)
+    worker.start()
+    try:
+        for i in range(2):                  # full disconnect between runs
+            conn = Uconn.Connection(host="127.0.0.1", async_port=a_port,
+                                    sync_port=d_port)
+            try:
+                cmd = _cmd(freq=20_000 * (i + 1))
+                conn.send_params(cmd)
+                fn = Uconn.Packets_to_file(conn, cmd,
+                                           filename=f"reconn_{i}",
+                                           progress=False)
+                data = Ufiles.openH5file(fn)
+                assert data.shape == (1, 1000)
+                assert np.allclose(np.abs(data[0, 8:]), 0.5, atol=2e-3), i
+            finally:
+                conn.close()
+    finally:
+        stop.set()
+        srv.close()
