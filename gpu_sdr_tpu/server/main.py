@@ -141,6 +141,9 @@ class Server:
 
     def close(self):
         self._active = False
+        # detach the reconnect hook before teardown: the async rx thread
+        # may observe its client's EOF while the data plane is destroyed
+        self.async_srv.on_disconnect = None
         if self.sync is not None:
             self.sync.close()
         self.async_srv.close()

@@ -56,6 +56,9 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.sdr_stream_server_bytes_sent.restype = ctypes.c_ulonglong
             lib.sdr_stream_server_bytes_sent.argtypes = [ctypes.c_void_p]
             lib.sdr_stream_server_destroy.argtypes = [ctypes.c_void_p]
+            if hasattr(lib, "sdr_stream_server_drop_client"):
+                lib.sdr_stream_server_drop_client.argtypes = [
+                    ctypes.c_void_p]
             _lib = lib
             return lib
     return None
@@ -102,6 +105,15 @@ class NativeSyncServer:
             if time.monotonic() - t0 > timeout:
                 return False
             time.sleep(0.001)
+
+    def drop_client(self) -> None:
+        """Close the current client so a reconnecting one is accepted
+        (wired to the command plane's disconnect, like the reference's
+        reconnect_data flag).  Must tolerate being invoked after close()
+        — the async plane's rx thread may observe its EOF during server
+        teardown."""
+        if self._h and hasattr(self._lib, "sdr_stream_server_drop_client"):
+            self._lib.sdr_stream_server_drop_client(self._h)
 
     def wait_client(self, timeout: Optional[float] = None) -> bool:
         t0 = time.monotonic()

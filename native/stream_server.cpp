@@ -30,6 +30,7 @@ using gpu_sdr_tpu::SpscRing;
 struct StreamServer {
   int listen_fd = -1;
   int client_fd = -1;
+  std::atomic<bool> drop_requested{false};
   int port = 0;
   std::unique_ptr<SpscRing> ring;
   std::thread worker;
@@ -87,6 +88,13 @@ struct StreamServer {
 
   void run() {
     while (!stop.load(std::memory_order_acquire)) {
+      // command-plane-initiated drop (reference reconnect_data flag):
+      // close the stale client so the returning one can be accepted
+      if (drop_requested.exchange(false, std::memory_order_acq_rel) &&
+          client_fd >= 0) {
+        ::close(client_fd);
+        client_fd = -1;
+      }
       if (client_fd < 0) {
         try_accept();
         continue;
@@ -158,6 +166,14 @@ unsigned long long sdr_stream_server_bytes_sent(void* handle) {
 
 int sdr_stream_server_connected(void* handle) {
   return static_cast<StreamServer*>(handle)->client_fd >= 0 ? 1 : 0;
+}
+
+// Request the worker to close the current client (safe from any thread);
+// the next accept serves the reconnecting client.
+void sdr_stream_server_drop_client(void* handle) {
+  if (handle == nullptr) return;
+  static_cast<StreamServer*>(handle)->drop_requested.store(
+      true, std::memory_order_release);
 }
 
 void sdr_stream_server_destroy(void* handle) {
