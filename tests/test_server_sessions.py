@@ -91,11 +91,18 @@ def test_dual_rx_over_tcp(tmp_chdir):
         srv.close()
 
 
-def test_client_reconnect(tmp_chdir):
+@pytest.mark.parametrize("use_native", [False, True])
+def test_client_reconnect(tmp_chdir, use_native):
     """A client that disconnects entirely and reconnects gets served again
     (the reference's reconnect_data/reconnect_async + virtual_pinger
-    watchdog, cpp/USRP_server_network.cpp:3-4,135-161)."""
-    srv = Server(async_port=0, data_port=0, host="127.0.0.1")
+    watchdog, cpp/USRP_server_network.cpp:3-4,135-161) — on both the
+    Python and the native C++ data plane."""
+    if use_native:
+        from gpu_sdr_tpu.server import native as native_mod
+        if not native_mod.available():
+            pytest.skip("native streamer not built")
+    srv = Server(async_port=0, data_port=0, host="127.0.0.1",
+                 use_native=use_native)
     srv.start()
     a_port, d_port = srv.ports
     stop = threading.Event()
