@@ -131,3 +131,38 @@ def test_client_reconnect(tmp_chdir, use_native):
     finally:
         stop.set()
         srv.close()
+
+
+def test_ninety_measurements_no_degradation(tmp_chdir):
+    """The reference UHD server crashed after ~83 measurements (the
+    disabled reset_usrp_host workaround, cpp/USRP_hardware_manager.cpp:
+    8-52).  Run 90 back-to-back measurements on one connection and check
+    the last ones are as correct as the first."""
+    srv = Server(async_port=0, data_port=0, host="127.0.0.1")
+    srv.start()
+    a_port, d_port = srv.ports
+    stop = threading.Event()
+
+    def serve():
+        while not stop.is_set():
+            srv.serve_one(timeout=0.2)
+
+    worker = threading.Thread(target=serve, daemon=True)
+    worker.start()
+    conn = Uconn.Connection(host="127.0.0.1", async_port=a_port,
+                            sync_port=d_port)
+    try:
+        for i in range(90):
+            cmd = _cmd(freq=1000 * (i % 37 + 1), samples=20_000)
+            conn.send_params(cmd)
+            fn = Uconn.Packets_to_file(conn, cmd, filename=f"m{i:03d}",
+                                       progress=False)
+            if i < 2 or i >= 85:
+                data = Ufiles.openH5file(fn)
+                assert data.shape == (1, 200), i
+                assert np.allclose(np.abs(data[0, 8:]), 0.5,
+                                   atol=2e-3), i
+    finally:
+        stop.set()
+        conn.close()
+        srv.close()
