@@ -1,0 +1,145 @@
+"""Device-resident replay: demodulate a recorded IQ stream from HBM.
+
+The host-fed replay path (engine/sources.ReplaySource -> run_pipeline)
+moves every block over the host link, which caps ingest far below the
+chip's DSP rate (production TPU hosts stream ~O(10) GB/s; this rig's
+relay ~33 MB/s).  For recordings that fit in device memory, upload ONCE
+and scan the demodulator over HBM-resident blocks: per execution, K
+blocks are sliced out with `lax.dynamic_slice` (block index wrapping mod
+the recording length when looping) and demodulated with the streaming
+state carried through the scan — the replay equivalent of the fused
+loopback (engine/fused.py), and the "HBM-resident replay" ingest of
+docs/05_performance.md.
+
+Replaces the reference's replay-style --sw_loop file feeds with a form
+that sustains the chip's full rate (the reference streams from the
+radio/NIC at 10 GbE; a TPU replay bench would otherwise measure the
+host link, not the DSP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cplx
+from ..ops.cplx import C
+from ..params import AntennaParams
+from .demodulator import make_demodulator
+from .pipeline import PipelineResult
+from .sinks import PacketMeta
+
+# recordings larger than this stay on the host-fed path (HBM budget)
+DEVICE_REPLAY_MAX_BYTES = 2 << 30
+
+
+@dataclasses.dataclass
+class DeviceReplay:
+    """Compiled K-blocks-per-execution demodulation of an HBM-resident
+    recording."""
+
+    rx: AntennaParams
+    data: np.ndarray                  # complex64 recording (host side)
+    blocks_per_exec: int = 8
+    loop: bool = True
+
+    def __post_init__(self):
+        self.demod = make_demodulator(self.rx)
+        L = self.demod.plan.block_len
+        n = len(self.data)
+        nblk = max(1, -(-n // L))            # data blocks (tail padded)
+        if self.loop:
+            # exact host-path loop semantics need block-commensurate data
+            assert n % L == 0, "looped device replay needs len % block == 0"
+        # one trailing all-zero block: post-recording reads (non-loop)
+        buf = np.zeros((nblk + 1) * L, dtype=np.complex64)
+        buf[:n] = np.asarray(self.data[:nblk * L], dtype=np.complex64)[:n]
+        self._X = cplx.from_np(buf)          # one upload, stays in HBM
+        self.n_rec_blocks = nblk
+        K = self.blocks_per_exec
+        demod_step = self.demod.step
+        X = self._X
+        loop = self.loop
+
+        def body(carry, _):
+            state, idx = carry
+            x = C(jax.lax.dynamic_slice(X.re, (idx * L,), (L,)),
+                  jax.lax.dynamic_slice(X.im, (idx * L,), (L,)))
+            state, y = demod_step(state, x)
+            nxt = idx + 1
+            if loop:
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+            else:
+                nxt = jnp.minimum(nxt, nblk)   # stick at the zero block
+            return (state, nxt), y
+
+        @jax.jit
+        def multi(state, idx):
+            (state, idx), ys = jax.lax.scan(body, (state, idx), None,
+                                            length=K)
+            return state, idx, ys
+
+        self._multi = multi
+
+    def run(self, sinks=(), usrp_number: int = 0,
+            front_end: str = "A") -> PipelineResult:
+        """Demodulate the acquisition (rx.samples or one pass over the
+        recording), feeding sinks packet-by-packet."""
+        import time
+        plan = self.demod.plan
+        K = self.blocks_per_exec
+        n_exec = max(1, -(-plan.n_blocks // K))
+        for s in sinks:
+            s.on_start(self.demod.n_channels, plan.total_out_rows)
+        state = self.demod.init_state()
+        idx = jnp.int32(0)
+        rows = pkt = 0
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n_exec):
+            state, idx, ys = self._multi(state, idx)
+            if pending is not None:
+                rows, pkt = self._drain(pending, sinks, rows, pkt,
+                                        usrp_number, front_end,
+                                        plan.n_blocks)
+            pending = ys
+        rows, pkt = self._drain(pending, sinks, rows, pkt, usrp_number,
+                                front_end, plan.n_blocks)
+        elapsed = time.perf_counter() - t0
+        for s in sinks:
+            s.on_end()
+        return PipelineResult(n_blocks=pkt, rows=rows,
+                              channels=self.demod.n_channels,
+                              elapsed_s=elapsed,
+                              samples_in=pkt * plan.block_len)
+
+    def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end,
+               max_blocks):
+        data = cplx.to_np(ys)                   # (K, rows_b, C)
+        data = data[:max(0, max_blocks - pkt)]  # exactly plan.n_blocks
+        for k in range(data.shape[0]):
+            d = data[k]
+            meta = PacketMeta(usrp_number=usrp_number,
+                              front_end_code=front_end,
+                              packet_number=pkt, length=int(d.size),
+                              errors=0, channels=int(d.shape[1]))
+            for s in sinks:
+                s.on_packet(meta, d)
+            rows += d.shape[0]
+            pkt += 1
+        return rows, pkt
+
+
+def can_device_replay(source) -> bool:
+    """True when the source is a recording that fits the HBM budget."""
+    from .sources import ArraySource, ReplaySource
+    if not isinstance(source, (ReplaySource, ArraySource)):
+        return False
+    try:
+        nbytes = source.data.size * 8        # complex64
+    except AttributeError:
+        return False
+    return 0 < nbytes <= DEVICE_REPLAY_MAX_BYTES

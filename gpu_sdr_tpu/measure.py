@@ -163,6 +163,28 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                  front_end=rx_name[0], n_blocks=nb)
                     results.append(res)
                     continue
+        # Device-resident replay: a recording that fits HBM is uploaded
+        # once and demodulated scan-chained (engine/replay.py) instead of
+        # feeding every block over the host link
+        if source is not None and channel is None and mesh is None:
+            from .engine.replay import DeviceReplay, can_device_replay
+            if can_device_replay(source):
+                from .engine.planner import plan_blocks
+                loop = bool(getattr(source, "loop", False))
+                blk = plan_blocks(rx).block_len
+                if not (loop and len(source.data) % blk != 0):
+                    dr = DeviceReplay(rx, np.asarray(source.data),
+                                      loop=loop)
+                    sinks = list(extra_sinks)
+                    if filename is not None:
+                        h5 = H5Sink(filename, params, ant_name=rx_name,
+                                    trigger=trigger, **tags)
+                        sinks.append(h5)
+                        out_name = h5.filename
+                    res = dr.run(sinks, usrp_number=params.usrp_number,
+                                 front_end=rx_name[0])
+                    results.append(res)
+                    continue
         demod = make_demodulator(rx, mesh=mesh)
         if source is not None:
             src = source

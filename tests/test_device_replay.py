@@ -1,0 +1,107 @@
+"""Device-resident replay (engine/replay.py) vs the host-fed path."""
+
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu.engine import make_demodulator, run_pipeline
+from gpu_sdr_tpu.engine.replay import (DEVICE_REPLAY_MAX_BYTES,
+                                       DeviceReplay, can_device_replay)
+from gpu_sdr_tpu.engine.sinks import MemorySink
+from gpu_sdr_tpu.engine.sources import ArraySource, ReplaySource
+from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+RNG = np.random.default_rng(3)
+
+
+def _rx(samples, buffer_len=20_000):
+    return AntennaParams(mode=AntMode.RX, rate=1_000_000,
+                         buffer_len=buffer_len, samples=samples,
+                         decim=10, pf_average=4, freq=[100_000, -250_000],
+                         wave_type=[WaveType.DIRECT] * 2)
+
+
+def _rec(n):
+    return (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+            ).astype(np.complex64)
+
+
+@pytest.mark.parametrize("rec_len,loop", [
+    (60_000, False),        # recording shorter than the acquisition
+    (55_000, False),        # partial tail block + post-recording zeros
+    (50_000, True),         # looped, block-commensurate (plan block 50k)
+])
+def test_device_replay_matches_host_fed(rec_len, loop):
+    rx = _rx(samples=100_000)
+    rec = _rec(rec_len)
+
+    demod = make_demodulator(rx)
+    sink_h = MemorySink()
+    run_pipeline(demod, ArraySource(rec) if not loop else _LoopArray(rec),
+                 [sink_h])
+
+    dr = DeviceReplay(rx, rec, loop=loop)
+    sink_d = MemorySink()
+    dr.run([sink_d])
+
+    a, b = sink_h.data, sink_d.data
+    assert a.shape == b.shape
+    assert np.array_equal(a, b), "device replay must bit-match host-fed"
+
+
+class _LoopArray(ArraySource):
+    """Host-fed looped recording (commensurate lengths only)."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.loop = True
+
+    def blocks(self, block_len, n_blocks):
+        assert len(self.data) % block_len == 0
+        nb = len(self.data) // block_len
+        for i in range(n_blocks):
+            j = i % nb
+            yield self.data[j * block_len:(j + 1) * block_len]
+
+
+def test_run_measurement_dispatches_device_replay(tmp_path, monkeypatch):
+    """run_measurement(source=ReplaySource) with a small recording takes
+    the device-resident path and matches the host-fed result."""
+    from gpu_sdr_tpu import measure as measure_mod
+    from gpu_sdr_tpu.engine import replay as replay_mod
+    from gpu_sdr_tpu.measure import run_measurement
+    from gpu_sdr_tpu.params import UsrpParams
+
+    monkeypatch.chdir(tmp_path)
+    rec = _rec(60_000)
+    np.save(tmp_path / "rec.npy", rec)
+    src = ReplaySource(str(tmp_path / "rec.npy"))
+    assert can_device_replay(src)
+
+    cmd = UsrpParams()
+    cmd.A_RX2 = _rx(samples=60_000)
+    sink_d = MemorySink()
+    calls = []
+    orig = replay_mod.DeviceReplay.run
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(replay_mod.DeviceReplay, "run", spy)
+    run_measurement(cmd, None, source=src, extra_sinks=[sink_d])
+    assert calls, "device replay was not dispatched"
+
+    # host-fed reference: force the budget to zero
+    monkeypatch.setattr(replay_mod, "DEVICE_REPLAY_MAX_BYTES", 0)
+    src2 = ReplaySource(str(tmp_path / "rec.npy"))
+    assert not can_device_replay(src2)
+    sink_h = MemorySink()
+    run_measurement(cmd, None, source=src2, extra_sinks=[sink_h])
+    assert np.array_equal(sink_d.data, sink_h.data)
+
+
+def test_budget_gate():
+    big = np.zeros(2, np.complex64)
+    src = ArraySource(big)
+    assert can_device_replay(src)
+    assert DEVICE_REPLAY_MAX_BYTES > 0

@@ -1,0 +1,59 @@
+"""Throughput of HBM-resident replay (engine/replay.py) on the chip:
+BASELINE config 1 driven from a recorded stream instead of loopback.
+
+Run:  nohup python tools/perf_device_replay.py > log 2>&1 &
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from gpu_sdr_tpu.config import configure_precision
+    configure_precision()
+    import jax
+    from gpu_sdr_tpu import golden
+    from gpu_sdr_tpu.engine.replay import DeviceReplay
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rate = 100_000_000
+    rec_samples = 16_000_000            # 128 MB recording in HBM
+    f0 = 10_000_000
+    rec = golden.tone_block([f0], [0.5], rate, 0, rec_samples)
+
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                       samples=1_024_000_000, decim=100, pf_average=4,
+                       freq=[f0], wave_type=[WaveType.DIRECT])
+    dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
+    state = dr.demod.init_state()
+    import jax.numpy as jnp
+    idx = jnp.int32(0)
+    state, idx, ys = dr._multi(state, idx)      # compile + warmup
+    jax.block_until_ready(ys)
+    K, L = 16, dr.demod.plan.block_len
+    n_exec = 16
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec):
+            state, idx, ys = dr._multi(state, idx)
+        jax.block_until_ready(ys)
+        dt = time.perf_counter() - t0
+        best = max(best, n_exec * K * L / dt / 1e6)
+    import numpy as np
+    y = np.asarray(ys.re)[-1]
+    print(json.dumps({"variant": "device_replay_config1",
+                      "Msps_best": round(best, 1),
+                      "mean_amp_check": round(float(
+                          np.abs(np.asarray(ys.re)[-1] +
+                                 1j * np.asarray(ys.im)[-1]).mean()), 4)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
