@@ -44,6 +44,21 @@ def _cpair(*spec):
     return C(P(*spec), P(*spec))
 
 
+def _to_np_global(ys: C) -> np.ndarray:
+    """Global numpy view of a sharded result; on a multi-process (multi-
+    host) mesh the shards are gathered with process_allgather so every
+    host's sinks see the full stream (the per-host ingest/egress design
+    of SURVEY.md section 7)."""
+    re, im = ys.re, ys.im
+    if hasattr(re, "is_fully_addressable") and not re.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        re = multihost_utils.process_allgather(re, tiled=True)
+        im = multihost_utils.process_allgather(im, tiled=True)
+        return np.asarray(re).astype(np.float32) + \
+            1j * np.asarray(im).astype(np.float32)
+    return cplx.to_np(ys)
+
+
 @dataclasses.dataclass
 class ShardedFusedLoopback:
     """Compiled sharded K-block TONES->TONES (PFB) loopback chain.
@@ -271,7 +286,7 @@ class ShardedFusedLoopback:
 
     def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end,
                PacketMeta):
-        data = cplx.to_np(ys)                   # (K, rows_b, n_tones)
+        data = _to_np_global(ys)                # (K, rows_b, n_tones)
         for k in range(data.shape[0]):
             d = data[k]
             meta = PacketMeta(usrp_number=usrp_number,

@@ -47,3 +47,6 @@ def test_two_process_sharded_chain_matches_golden():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-2000:]}"
         assert '"ok": true' in out, out[-2000:]
+        # phase 2: dual-channel config-5 measurement through the public
+        # API over the two-process mesh, global stream gathered per host
+        assert '"config5_ok": true' in out, out[-2000:]

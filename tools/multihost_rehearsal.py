@@ -91,7 +91,45 @@ def main():
                       "devices": jax.device_count(),
                       "worst_shard_snr_db": round(snr, 1),
                       "ok": bool(ok)}), flush=True)
-    sys.exit(0 if ok else 1)
+
+    # phase 2: BASELINE config-5 shape through the public measurement API —
+    # dual-channel readout, each frontend one SPMD chain over the mesh
+    # spanning both processes; every process's sinks receive the gathered
+    # global stream (_to_np_global)
+    os.environ["GPU_SDR_TPU_PALLAS"] = "1"
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.measure import run_measurement
+    from gpu_sdr_tpu.params import UsrpParams
+
+    n_tones = 16
+    d5 = 100                       # 400-tap FIR: tone isolation (config 5)
+    dfreqs = [int(f) for f in np.linspace(-400_000, 400_000, n_tones)]
+    cmd = UsrpParams()
+    for fe in ("A", "B"):
+        setattr(cmd, f"{fe}_TXRX", AntennaParams(
+            mode=AntMode.TX, rate=rate, buffer_len=L, samples=4 * L,
+            freq=dfreqs, ampl=[1.0 / n_tones] * n_tones,
+            wave_type=[WaveType.TONES] * n_tones, delay=1.0))
+        setattr(cmd, f"{fe}_RX2", AntennaParams(
+            mode=AntMode.RX, rate=rate, buffer_len=L, samples=4 * L,
+            decim=d5, pf_average=pfa, freq=dfreqs,
+            wave_type=[WaveType.DIRECT] * n_tones, delay=1.0))
+    sink = MemorySink()
+    run_measurement(cmd, None, extra_sinks=[sink], mesh=mesh)
+    # both frontends stream into the sink back-to-back; skip each one's
+    # FIR warm-up rows before the amplitude check
+    data = sink.data
+    rows_fe = data.shape[0] // 2
+    mask = np.ones(data.shape[0], bool)
+    mask[:8] = False
+    mask[rows_fe:rows_fe + 8] = False
+    amp_ok = bool(np.allclose(
+        np.abs(data[mask]), 1.0 / n_tones, atol=2e-3))
+    print(json.dumps({"process": args.process_id,
+                      "config5_rows": int(data.shape[0]),
+                      "config5_channels": int(data.shape[1]),
+                      "config5_ok": amp_ok}), flush=True)
+    sys.exit(0 if (ok and amp_ok) else 1)
 
 
 if __name__ == "__main__":
