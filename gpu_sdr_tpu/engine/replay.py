@@ -50,6 +50,9 @@ class DeviceReplay:
         self.demod = make_demodulator(self.rx)
         L = self.demod.plan.block_len
         n = len(self.data)
+        self._kernel_path = self._try_replay_kernel(L, n)
+        if self._kernel_path is not None:
+            return
         nblk = max(1, -(-n // L))            # data blocks (tail padded)
         if self.loop:
             # exact host-path loop semantics need block-commensurate data
@@ -84,6 +87,46 @@ class DeviceReplay:
 
         self._multi = multi
 
+    def _try_replay_kernel(self, L, n):
+        """Looped DIRECT-mode replay of a block-commensurate recording
+        can run as ONE kernel per execution (ops/pallas_replay.py): tiles
+        stream straight out of the recording via scalar-prefetched block
+        indices — no dynamic_slice copies, no scan stacking."""
+        from ..config import kernel_dot_precision, use_pallas_pfb
+        from ..params import WaveType
+        rx = self.rx
+        if not (self.loop and n % L == 0 and rx.wave_type and
+                rx.wave_type[0] == WaveType.DIRECT and
+                int(rx.decim) > 0 and int(rx.pf_average) >= 2 and
+                use_pallas_pfb() and
+                kernel_dot_precision() == "tf32"):
+            return None
+        from ..ops.ddc import DirectDDCConfig
+        from ..ops.pallas_replay import ReplayDDC
+        freqs = tuple(int(f) for f in rx.freq)
+        cfg = DirectDDCConfig(
+            rate=int(rx.rate), decim=int(rx.decim),
+            pf_average=int(rx.pf_average), freqs=freqs,
+            phases=(0,) * len(freqs))
+        rk = ReplayDDC(cfg, np.asarray(self.data, np.complex64), L,
+                       blocks_per_exec=self.blocks_per_exec)
+        if not rk.ok:
+            return None
+        self.n_rec_blocks = rk.nblk
+        K = self.blocks_per_exec
+        nbr, Cp = rk.nbr, cfg.n_channels
+
+        @jax.jit
+        def multi(state, idx):
+            # idx is unused (the kernel state carries it); kept for the
+            # scan-path-compatible (state, idx, ys) calling convention
+            state, y = rk.multi_step(state)
+            return state, idx, y.reshape(K, nbr, Cp)
+
+        self._multi = multi
+        self._kernel_state_init = rk.init_state
+        return rk
+
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
         """Demodulate the acquisition (rx.samples or one pass over the
@@ -94,7 +137,9 @@ class DeviceReplay:
         n_exec = max(1, -(-plan.n_blocks // K))
         for s in sinks:
             s.on_start(self.demod.n_channels, plan.total_out_rows)
-        state = self.demod.init_state()
+        state = (self._kernel_state_init()
+                 if self._kernel_path is not None
+                 else self.demod.init_state())
         idx = jnp.int32(0)
         rows = pkt = 0
         t0 = time.perf_counter()

@@ -100,6 +100,27 @@ def test_run_measurement_dispatches_device_replay(tmp_path, monkeypatch):
     assert np.array_equal(sink_d.data, sink_h.data)
 
 
+def test_device_replay_kernel_path(monkeypatch):
+    """With Pallas forced on, looped commensurate DIRECT replay takes the
+    scalar-prefetch kernel and matches the host-fed path at tf32 grade."""
+    from gpu_sdr_tpu import golden
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rx = _rx(samples=200_000, buffer_len=50_000)
+    rec = _rec(100_000)                           # 2 blocks, looped
+    dr = DeviceReplay(rx, rec, loop=True)
+    assert dr._kernel_path is not None
+    sink_k = MemorySink()
+    dr.run([sink_k])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    dr2 = DeviceReplay(rx, rec, loop=True)
+    assert dr2._kernel_path is None
+    sink_s = MemorySink()
+    dr2.run([sink_s])
+    assert sink_k.data.shape == sink_s.data.shape
+    assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
+
+
 def test_budget_gate():
     big = np.zeros(2, np.complex64)
     src = ArraySource(big)

@@ -1,0 +1,95 @@
+"""Scalar-prefetch replay kernel (ops/pallas_replay.py) vs the scan-form
+device replay and the golden oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu import golden
+from gpu_sdr_tpu.engine.replay import DeviceReplay
+from gpu_sdr_tpu.ops import cplx
+from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+from gpu_sdr_tpu.ops.pallas_replay import ReplayDDC
+from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+RNG = np.random.default_rng(9)
+
+
+def test_replay_kernel_matches_ddc_fused_and_scan_form():
+    """Bit-exact vs the sequential fused-DDC kernel (same split dots),
+    and >90 dB vs the scan-form DeviceReplay (which runs the XLA path on
+    CPU) — across executions and the loop seam."""
+    from gpu_sdr_tpu.ops.ddc import ddc_carrier_init, ddc_carrier_step
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+    rate, M, f = 1_000_000, 10, 4
+    freqs = (100_000, -250_000)
+    L, K = 50_000, 3
+    rec = (RNG.standard_normal(3 * L) + 1j * RNG.standard_normal(3 * L)
+           ).astype(np.complex64)                 # 3 blocks, loops
+    cfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                          freqs=freqs, phases=(0, 0))
+    rk = ReplayDDC(cfg, rec, block_len=L, blocks_per_exec=K,
+                   interpret=True)
+    assert rk.ok
+    outs = []
+    st = rk.init_state()
+    for _ in range(3):                            # 9 blocks: wraps twice
+        st, y = rk.multi_step(st)
+        outs.append(cplx.to_np(y))
+    got = np.concatenate(outs, axis=0)
+
+    # bit-exact vs sequential ddc_fused over the looped recording
+    hmod = cfg.modulated_taps()
+    ramp = cfg.carrier_ramp(L // M)
+    stepv = ddc_carrier_step(cfg, L)
+    ph = ddc_carrier_init(cfg, L)
+    hist = cplx.zeros((f - 1) * M)
+    seq = []
+    for i in range(9):
+        blk = rec[(i % 3) * L:((i % 3) + 1) * L]
+        ph, hist, yb = ddc_fused(hmod, ramp, stepv, rate, M, f, ph, hist,
+                                 cplx.const(blk), interpret=True)
+        seq.append(cplx.to_np(yb))
+    ref = np.concatenate(seq, axis=0)
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)
+
+    # scan-form DeviceReplay (XLA path on CPU): tf32-grade agreement
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       samples=9 * L, decim=M, pf_average=f,
+                       freq=list(freqs), wave_type=[WaveType.DIRECT] * 2)
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    dr = DeviceReplay(rx, rec, blocks_per_exec=K, loop=True)
+    sink = MemorySink()
+    dr.run([sink])
+    assert golden.snr_db(sink.data, got) > 90.0
+
+
+def test_replay_kernel_matches_golden():
+    """Looped replay of a synthesized comb recovers tone amplitudes."""
+    rate, M, f = 1_000_000, 100, 4
+    freqs = (100_000, -250_000, 40_000)
+    L, K = 80_000, 2
+    rec = golden.tone_block(list(freqs), [0.3, 0.3, 0.3], rate, 0, 2 * L)
+    cfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                          freqs=freqs, phases=(0,) * 3)
+    rk = ReplayDDC(cfg, rec.astype(np.complex64), block_len=L,
+                   blocks_per_exec=K, interpret=True)
+    assert rk.ok
+    st = rk.init_state()
+    outs = []
+    for _ in range(3):
+        st, y = rk.multi_step(st)
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs, axis=0)
+    # NOTE: the recording is 2 blocks of a CONTINUOUS comb; looping wraps
+    # the phase, so only the first pass is phase-continuous — check the
+    # amplitude (constant regardless of the carrier phase step at wraps)
+    assert np.allclose(np.abs(out[8:]), 0.3, atol=2e-3)
+
+
+def test_replay_kernel_gates():
+    cfg = DirectDDCConfig(rate=1_000_000, decim=10, pf_average=4,
+                          freqs=(1000,), phases=(0,))
+    rec = np.zeros(75_000, np.complex64)          # not block-commensurate
+    rk = ReplayDDC(cfg, rec, block_len=50_000)
+    assert not rk.ok

@@ -30,7 +30,10 @@ def main():
                        samples=1_024_000_000, decim=100, pf_average=4,
                        freq=[f0], wave_type=[WaveType.DIRECT])
     dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
-    state = dr.demod.init_state()
+    state = (dr._kernel_state_init() if dr._kernel_path is not None
+             else dr.demod.init_state())
+    print(json.dumps({"kernel_path": dr._kernel_path is not None}),
+          flush=True)
     import jax.numpy as jnp
     idx = jnp.int32(0)
     state, idx, ys = dr._multi(state, idx)      # compile + warmup
