@@ -123,46 +123,20 @@ class FusedLoopback:
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
         """Stream the full acquisition through the fused chain."""
-        import time
+        from .pipeline import run_chunked
         plan = self.demod.plan
         K = self.blocks_per_exec
         n_exec = max(1, -(-plan.n_blocks // K))
-        for s in sinks:
-            s.on_start(self.demod.n_channels, plan.total_out_rows)
-        gstate, dstate = self._init_states()
-        rows = 0
-        pkt = 0
-        t0 = time.perf_counter()
-        pending = None
-        for _ in range(n_exec):
-            gstate, dstate, ys = self._multi(gstate, dstate)
-            if pending is not None:
-                rows, pkt = self._drain(pending, sinks, rows, pkt,
-                                        usrp_number, front_end)
-            pending = ys
-        rows, pkt = self._drain(pending, sinks, rows, pkt, usrp_number,
-                                front_end)
-        elapsed = time.perf_counter() - t0
-        for s in sinks:
-            s.on_end()
-        return PipelineResult(n_blocks=n_exec * K, rows=rows,
-                              channels=self.demod.n_channels,
-                              elapsed_s=elapsed,
-                              samples_in=n_exec * K * plan.block_len)
 
-    def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end):
-        data = cplx.to_np(ys)                   # (K, rows_b, C)
-        for k in range(data.shape[0]):
-            d = data[k]
-            meta = PacketMeta(usrp_number=usrp_number,
-                              front_end_code=front_end,
-                              packet_number=pkt, length=int(d.size),
-                              errors=0, channels=int(d.shape[1]))
-            for s in sinks:
-                s.on_packet(meta, d)
-            rows += d.shape[0]
-            pkt += 1
-        return rows, pkt
+        def step(st):
+            g, d = st
+            g, d, ys = self._multi(g, d)
+            return (g, d), ys
+
+        return run_chunked(step, self._init_states, n_exec, plan.n_blocks,
+                           plan.block_len, self.demod.n_channels,
+                           plan.total_out_rows, sinks,
+                           usrp_number=usrp_number, front_end=front_end)
 
 
 _FUSABLE = {

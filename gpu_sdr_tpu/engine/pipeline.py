@@ -38,6 +38,56 @@ class PipelineResult:
         return self.samples_in / self.elapsed_s / 1e6
 
 
+def run_chunked(step, init_state, n_exec: int, n_blocks: int,
+                block_len: int, channels: int, total_rows: int,
+                sinks: Sequence[Sink] = (), usrp_number: int = 0,
+                front_end: str = "A", to_np=None) -> PipelineResult:
+    """Shared acquisition loop for the K-blocks-per-execution chains
+    (engine/fused.py, engine/replay.py, parallel/fused_sharded.py): one
+    execution in flight while the previous result drains to the sinks;
+    exactly `n_blocks` packets are emitted (the last execution's excess
+    blocks are dropped).
+
+    `step(state) -> (state, ys)` with ys of shape (K, rows_b, channels);
+    `to_np(ys) -> np.ndarray` (default cplx.to_np; the sharded chains
+    pass their multi-host gather)."""
+    conv = to_np if to_np is not None else cplx.to_np
+    for s in sinks:
+        s.on_start(channels, total_rows)
+    state = init_state()
+    rows = pkt = 0
+    t0 = time.perf_counter()
+
+    def drain(ys):
+        nonlocal rows, pkt
+        data = conv(ys)[:max(0, n_blocks - pkt)]
+        for k in range(data.shape[0]):
+            d = data[k]
+            meta = PacketMeta(usrp_number=usrp_number,
+                              front_end_code=front_end,
+                              packet_number=pkt, length=int(d.size),
+                              errors=0, channels=int(d.shape[1]))
+            for s in sinks:
+                s.on_packet(meta, d)
+            rows += d.shape[0]
+            pkt += 1
+
+    pending = None
+    for _ in range(n_exec):
+        state, ys = step(state)
+        if pending is not None:
+            drain(pending)
+        pending = ys
+    if pending is not None:
+        drain(pending)
+    elapsed = time.perf_counter() - t0
+    for s in sinks:
+        s.on_end()
+    return PipelineResult(n_blocks=pkt, rows=rows, channels=channels,
+                          elapsed_s=elapsed,
+                          samples_in=pkt * block_len)
+
+
 def run_pipeline(demod: Demodulator, source: Source,
                  sinks: Sequence[Sink] = (), n_blocks: Optional[int] = None,
                  usrp_number: int = 0, front_end: str = "A",

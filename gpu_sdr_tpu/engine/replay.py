@@ -129,53 +129,28 @@ class DeviceReplay:
 
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
-        """Demodulate the acquisition (rx.samples or one pass over the
-        recording), feeding sinks packet-by-packet."""
-        import time
+        """Demodulate the acquisition (rx.samples), feeding sinks
+        packet-by-packet; exactly plan.n_blocks packets are emitted."""
+        from .pipeline import run_chunked
         plan = self.demod.plan
         K = self.blocks_per_exec
         n_exec = max(1, -(-plan.n_blocks // K))
-        for s in sinks:
-            s.on_start(self.demod.n_channels, plan.total_out_rows)
-        state = (self._kernel_state_init()
-                 if self._kernel_path is not None
-                 else self.demod.init_state())
-        idx = jnp.int32(0)
-        rows = pkt = 0
-        t0 = time.perf_counter()
-        pending = None
-        for _ in range(n_exec):
-            state, idx, ys = self._multi(state, idx)
-            if pending is not None:
-                rows, pkt = self._drain(pending, sinks, rows, pkt,
-                                        usrp_number, front_end,
-                                        plan.n_blocks)
-            pending = ys
-        rows, pkt = self._drain(pending, sinks, rows, pkt, usrp_number,
-                                front_end, plan.n_blocks)
-        elapsed = time.perf_counter() - t0
-        for s in sinks:
-            s.on_end()
-        return PipelineResult(n_blocks=pkt, rows=rows,
-                              channels=self.demod.n_channels,
-                              elapsed_s=elapsed,
-                              samples_in=pkt * plan.block_len)
 
-    def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end,
-               max_blocks):
-        data = cplx.to_np(ys)                   # (K, rows_b, C)
-        data = data[:max(0, max_blocks - pkt)]  # exactly plan.n_blocks
-        for k in range(data.shape[0]):
-            d = data[k]
-            meta = PacketMeta(usrp_number=usrp_number,
-                              front_end_code=front_end,
-                              packet_number=pkt, length=int(d.size),
-                              errors=0, channels=int(d.shape[1]))
-            for s in sinks:
-                s.on_packet(meta, d)
-            rows += d.shape[0]
-            pkt += 1
-        return rows, pkt
+        def init():
+            st = (self._kernel_state_init()
+                  if self._kernel_path is not None
+                  else self.demod.init_state())
+            return (st, jnp.int32(0))
+
+        def step(carry):
+            st, idx = carry
+            st, idx, ys = self._multi(st, idx)
+            return (st, idx), ys
+
+        return run_chunked(step, init, n_exec, plan.n_blocks,
+                           plan.block_len, self.demod.n_channels,
+                           plan.total_out_rows, sinks,
+                           usrp_number=usrp_number, front_end=front_end)
 
 
 def can_device_replay(source) -> bool:

@@ -255,49 +255,18 @@ class ShardedFusedLoopback:
             n_blocks: int | None = None):
         """Stream a full acquisition through the sharded chain, feeding
         sinks packet-by-packet (the mesh analogue of
-        engine/fused.FusedLoopback.run)."""
-        import time
-        from ..engine.pipeline import PipelineResult
-        from ..engine.sinks import PacketMeta
+        engine/fused.FusedLoopback.run); on a multi-host mesh each host's
+        sinks receive the gathered global stream."""
+        from ..engine.pipeline import run_chunked
         K = self.blocks_per_exec
         nb = int(n_blocks) if n_blocks else K
         n_exec = max(1, -(-nb // K))
         rows_per_block = self.T * self.ft
-        for s in sinks:
-            s.on_start(self.n_tones, rows_per_block * nb)
-        state = self.init_state()
-        rows = pkt = 0
-        t0 = time.perf_counter()
-        pending = None
-        for _ in range(n_exec):
-            state, ys = self.run_exec(state)
-            if pending is not None:
-                rows, pkt = self._drain(pending, sinks, rows, pkt,
-                                        usrp_number, front_end, PacketMeta)
-            pending = ys
-        rows, pkt = self._drain(pending, sinks, rows, pkt,
-                                usrp_number, front_end, PacketMeta)
-        elapsed = time.perf_counter() - t0
-        for s in sinks:
-            s.on_end()
-        return PipelineResult(n_blocks=n_exec * K, rows=rows,
-                              channels=self.n_tones, elapsed_s=elapsed,
-                              samples_in=n_exec * K * self.block_len)
-
-    def _drain(self, ys, sinks, rows, pkt, usrp_number, front_end,
-               PacketMeta):
-        data = _to_np_global(ys)                # (K, rows_b, n_tones)
-        for k in range(data.shape[0]):
-            d = data[k]
-            meta = PacketMeta(usrp_number=usrp_number,
-                              front_end_code=front_end,
-                              packet_number=pkt, length=int(d.size),
-                              errors=0, channels=int(d.shape[1]))
-            for s in sinks:
-                s.on_packet(meta, d)
-            rows += d.shape[0]
-            pkt += 1
-        return rows, pkt
+        return run_chunked(self.run_exec, self.init_state, n_exec, nb,
+                           self.block_len, self.n_tones,
+                           rows_per_block * nb, sinks,
+                           usrp_number=usrp_number, front_end=front_end,
+                           to_np=_to_np_global)
 
 
 @dataclasses.dataclass
@@ -396,7 +365,6 @@ class ShardedFusedVNA:
     # reuse the generic acquisition loop
     ft = property(lambda self: self.nseg_t)
     run = ShardedFusedLoopback.run
-    _drain = ShardedFusedLoopback._drain
 
 
 @dataclasses.dataclass
@@ -499,7 +467,6 @@ class ShardedFusedDirect:
 
     # reuse the generic acquisition loop
     run = ShardedFusedLoopback.run
-    _drain = ShardedFusedLoopback._drain
 
 
 def can_fuse_sharded(tx: AntennaParams | None, rx: AntennaParams,

@@ -82,6 +82,8 @@ class NativeSyncServer:
         if lib is None:
             raise RuntimeError("native streamer library not built")
         self._lib = lib
+        import threading
+        self._h_lock = threading.Lock()   # close() vs drop_client() race
         self._h = lib.sdr_stream_server_create(port, slot_bytes, queue_len)
         if not self._h:
             raise RuntimeError(f"cannot bind native streamer to port {port}")
@@ -111,9 +113,12 @@ class NativeSyncServer:
         (wired to the command plane's disconnect, like the reference's
         reconnect_data flag).  Must tolerate being invoked after close()
         — the async plane's rx thread may observe its EOF during server
-        teardown."""
-        if self._h and hasattr(self._lib, "sdr_stream_server_drop_client"):
-            self._lib.sdr_stream_server_drop_client(self._h)
+        teardown — so the handle is read and used under a lock shared
+        with close()."""
+        with self._h_lock:
+            if self._h and hasattr(self._lib,
+                                   "sdr_stream_server_drop_client"):
+                self._lib.sdr_stream_server_drop_client(self._h)
 
     def wait_client(self, timeout: Optional[float] = None) -> bool:
         t0 = time.monotonic()
@@ -141,9 +146,10 @@ class NativeSyncServer:
         }
 
     def close(self) -> None:
-        if self._h:
-            self._lib.sdr_stream_server_destroy(self._h)
-            self._h = None
+        with self._h_lock:
+            if self._h:
+                self._lib.sdr_stream_server_destroy(self._h)
+                self._h = None
 
     def __del__(self):
         try:

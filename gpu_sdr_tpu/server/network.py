@@ -85,8 +85,9 @@ class _SingleClientServer:
                     pass
                 self._client = None
                 had = True
-        if had and self.on_disconnect is not None:
-            self.on_disconnect()
+        cb = self.on_disconnect          # read once: close() may detach
+        if had and cb is not None:
+            cb()
 
     def close(self):
         self._stop.set()

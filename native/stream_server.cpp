@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstring>
 #include <memory>
+#include <mutex>
 #include <thread>
 
 #include "spsc_ring.hpp"
@@ -30,6 +31,7 @@ using gpu_sdr_tpu::SpscRing;
 struct StreamServer {
   int listen_fd = -1;
   int client_fd = -1;
+  std::mutex fd_mu;   // guards client_fd open/close/shutdown across threads
   std::atomic<bool> drop_requested{false};
   int port = 0;
   std::unique_ptr<SpscRing> ring;
@@ -72,7 +74,11 @@ struct StreamServer {
     if (c >= 0) {
       int one = 1;
       ::setsockopt(c, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      std::lock_guard<std::mutex> g(fd_mu);
       client_fd = c;
+      // a drop flagged against the PREVIOUS client must not evict the
+      // client we just accepted
+      drop_requested.store(false, std::memory_order_release);
     }
   }
 
@@ -86,14 +92,29 @@ struct StreamServer {
     return true;
   }
 
+  void close_client() {
+    std::lock_guard<std::mutex> g(fd_mu);
+    if (client_fd >= 0) {
+      ::close(client_fd);
+      client_fd = -1;
+    }
+  }
+
+  // Safe from any thread: shut the socket down (unblocking a send that is
+  // stalled on a full TCP buffer) but leave close() to the worker, which
+  // owns the fd lifecycle.
+  void request_drop() {
+    drop_requested.store(true, std::memory_order_release);
+    std::lock_guard<std::mutex> g(fd_mu);
+    if (client_fd >= 0) ::shutdown(client_fd, SHUT_RDWR);
+  }
+
   void run() {
     while (!stop.load(std::memory_order_acquire)) {
       // command-plane-initiated drop (reference reconnect_data flag):
       // close the stale client so the returning one can be accepted
-      if (drop_requested.exchange(false, std::memory_order_acq_rel) &&
-          client_fd >= 0) {
-        ::close(client_fd);
-        client_fd = -1;
+      if (drop_requested.exchange(false, std::memory_order_acq_rel)) {
+        close_client();
       }
       if (client_fd < 0) {
         try_accept();
@@ -106,8 +127,7 @@ struct StreamServer {
         continue;
       }
       if (!send_all(slot, len)) {  // client went away; keep packet? drop
-        ::close(client_fd);
-        client_fd = -1;
+        close_client();
         continue;  // packet retained in ring for the reconnected client
       }
       packets_sent.fetch_add(1, std::memory_order_relaxed);
@@ -118,6 +138,12 @@ struct StreamServer {
 
   void shutdown() {
     stop.store(true, std::memory_order_release);
+    {
+      // unblock a send stalled on an unresponsive client so join() can't
+      // hang for the kernel TCP timeout
+      std::lock_guard<std::mutex> g(fd_mu);
+      if (client_fd >= 0) ::shutdown(client_fd, SHUT_RDWR);
+    }
     if (worker.joinable()) worker.join();
     if (client_fd >= 0) ::close(client_fd);
     if (listen_fd >= 0) ::close(listen_fd);
@@ -172,8 +198,7 @@ int sdr_stream_server_connected(void* handle) {
 // the next accept serves the reconnecting client.
 void sdr_stream_server_drop_client(void* handle) {
   if (handle == nullptr) return;
-  static_cast<StreamServer*>(handle)->drop_requested.store(
-      true, std::memory_order_release);
+  static_cast<StreamServer*>(handle)->request_drop();
 }
 
 void sdr_stream_server_destroy(void* handle) {

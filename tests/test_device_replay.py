@@ -121,8 +121,22 @@ def test_device_replay_kernel_path(monkeypatch):
     assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
 
 
-def test_budget_gate():
-    big = np.zeros(2, np.complex64)
-    src = ArraySource(big)
+def test_budget_gate(monkeypatch):
+    from gpu_sdr_tpu.engine import replay as replay_mod
+    src = ArraySource(np.zeros(128, np.complex64))
     assert can_device_replay(src)
-    assert DEVICE_REPLAY_MAX_BYTES > 0
+    # over budget -> host-fed path
+    monkeypatch.setattr(replay_mod, "DEVICE_REPLAY_MAX_BYTES", 128 * 8 - 1)
+    assert not replay_mod.can_device_replay(src)
+    # sources without a recording array -> host-fed path
+    from gpu_sdr_tpu.engine.sources import WhiteNoiseSource
+    assert not replay_mod.can_device_replay(WhiteNoiseSource())
+
+    class NoData(ArraySource):
+        @property
+        def data(self):
+            raise AttributeError("no data")
+
+        def __init__(self):
+            pass
+    assert not replay_mod.can_device_replay(NoData())
