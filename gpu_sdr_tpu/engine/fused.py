@@ -19,12 +19,10 @@ from typing import Optional
 
 import jax
 
-from ..ops import cplx
 from ..params import AntennaParams, WaveType
 from .demodulator import make_demodulator
 from .generator import make_generator
 from .pipeline import PipelineResult
-from .sinks import PacketMeta
 
 
 @dataclasses.dataclass

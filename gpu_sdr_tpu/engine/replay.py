@@ -30,7 +30,6 @@ from ..ops.cplx import C
 from ..params import AntennaParams
 from .demodulator import make_demodulator
 from .pipeline import PipelineResult
-from .sinks import PacketMeta
 
 # recordings larger than this stay on the host-fed path (HBM budget)
 DEVICE_REPLAY_MAX_BYTES = 2 << 30
