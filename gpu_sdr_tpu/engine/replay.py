@@ -50,6 +50,8 @@ class DeviceReplay:
         L = self.demod.plan.block_len
         n = len(self.data)
         self._kernel_path = self._try_replay_kernel(L, n)
+        if self._kernel_path is None:
+            self._kernel_path = self._try_pfb_replay(L, n)
         if self._kernel_path is not None:
             return
         nblk = max(1, -(-n // L))            # data blocks (tail padded)
@@ -125,6 +127,75 @@ class DeviceReplay:
         self._multi = multi
         self._kernel_state_init = rk.init_state
         return rk
+
+    def _try_pfb_replay(self, L, n):
+        """TONES/NOISE (channelizer) replay without dynamic_slice copies:
+        the per-block pre-sum reads the recording in place via a
+        scalar-prefetched block index (ops/pallas_pfb.pallas_presum_at);
+        the spare carry disappears (a block's leading halo rows ARE the
+        recording rows preceding it, wrapping at the loop seam)."""
+        from ..config import use_pallas_pfb
+        from ..ops import pfb as pfb_ops
+        from ..ops.pallas_pfb import _HALO_PAD, _pick_bt, pallas_presum_at
+        from ..params import WaveType
+        rx = self.rx
+        w = rx.wave_type[0] if rx.wave_type else None
+        full_spectrum = w == WaveType.NOISE
+        if not (self.loop and n % L == 0 and
+                w in (WaveType.TONES, WaveType.NOISE) and
+                int(rx.fft_tones) > 0 and use_pallas_pfb()):
+            return None
+        nfft, avg = int(rx.fft_tones), int(rx.pf_average)
+        decim = int(rx.decim)
+        frames_pb = L // nfft
+        total_frames = n // nfft
+        bt = _pick_bt(frames_pb, nfft)
+        if not (L % nfft == 0 and n % nfft == 0 and bt and
+                bt % _HALO_PAD == 0 and 0 < avg - 1 <= _HALO_PAD and
+                frames_pb % bt == 0 and total_frames % _HALO_PAD == 0 and
+                (decim == 0 or frames_pb % decim == 0)):
+            return None
+        # DFT / select configuration mirrors demodulator._build_pfb
+        bins = None if full_spectrum else tuple(
+            int(b) for b in pfb_ops.tone_bins(rx.freq, rx.rate, nfft))
+        cfg = pfb_ops.PFBConfig(nfft=nfft, avg=avg, rate=int(rx.rate),
+                                bins=bins, decim=decim)
+        window2d = jnp.asarray(cfg.window()).reshape(avg, nfft)
+        dft_obj = cfg.dft(two_stage=True if nfft >= 512 else None)
+        if not full_spectrum and dft_obj.split is not None:
+            dft = dft_obj.scrambled
+            bins_arr = jnp.asarray(dft_obj.scramble_index(bins))
+        else:
+            dft = dft_obj
+            bins_arr = cfg.bins_array()
+
+        buf = np.asarray(self.data, dtype=np.complex64)
+        xc = cplx.from_np(buf)
+        Xf = C(xc.re.reshape(total_frames, nfft),
+               xc.im.reshape(total_frames, nfft))
+        self.n_rec_blocks = nblk = n // L
+        K = self.blocks_per_exec
+
+        @jax.jit
+        def multi(started, idx):
+            def body(carry, _):
+                i, st = carry
+                pre = pallas_presum_at(window2d, Xf, i, st, frames_pb)
+                frames = dft(pre)
+                if decim > 0:
+                    frames = pfb_ops.average_frames(frames, decim)
+                if bins_arr is not None:
+                    frames = pfb_ops.select_tones(frames, bins_arr)
+                nxt = i + 1
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+                return (nxt, jnp.int32(1)), frames
+            (idx2, started2), ys = jax.lax.scan(
+                body, (idx, started), None, length=K)
+            return started2, idx2, ys
+
+        self._multi = multi
+        self._kernel_state_init = lambda: jnp.int32(0)   # started flag
+        return ("pfb", cfg)
 
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:

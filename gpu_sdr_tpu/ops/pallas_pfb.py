@@ -172,3 +172,87 @@ def pfb_frames_fused(cfg: PFBConfig, window: jax.Array, dft, spare: C,
     frames = dft(pre)
     new_spare = x[L - H:]
     return new_spare, frames
+
+
+def _kernel_at(avg: int, bt: int, idx_ref, val_ref, ar_ref, ai_ref,
+               lr_ref, li_ref, w_ref, or_ref, oi_ref):
+    """Replay variant of _kernel: the tile's leading halo is the 8-row
+    unit of the RECORDING preceding it (the previous stream block's tail
+    lives in the recording; wraps at the loop seam), zeroed on the
+    stream's very first tile via val."""
+    import jax.experimental.pallas as pl
+    pid = pl.program_id(0)
+    v = jnp.where(pid == 0, val_ref[0].astype(jnp.float32),
+                  jnp.float32(1.0))
+    a_r = ar_ref[:]
+    a_i = ai_ref[:]
+    w = w_ref[:]
+    out_r = a_r * w[avg - 1][None, :]
+    out_i = a_i * w[avg - 1][None, :]
+    lead = avg - 1
+    for i in range(lead):
+        k = lead - i
+        rr = jnp.concatenate(
+            [lr_ref[_HALO_PAD - k:] * v, a_r[:bt - k]], axis=0)
+        ri = jnp.concatenate(
+            [li_ref[_HALO_PAD - k:] * v, a_i[:bt - k]], axis=0)
+        out_r = out_r + rr * w[i][None, :]
+        out_i = out_i + ri * w[i][None, :]
+    or_ref[:] = out_r
+    oi_ref[:] = out_i
+
+
+def pallas_presum_at(window2d: jax.Array, X_full: C, blk_idx: jax.Array,
+                     valid: jax.Array, frames_pb: int,
+                     bt: int | None = None,
+                     interpret: bool | None = None) -> C:
+    """Pre-sum of ONE stream block read in place from a recording.
+
+    X_full: (total_frames, nfft) recording view (total_frames a multiple
+    of frames_pb); blk_idx: int32 scalar block index (scalar-prefetched
+    into the BlockSpec index maps — no dynamic_slice copy); valid: int32
+    scalar, 0 zeroes the leading halo (stream start).  The halo rows are
+    the recording rows preceding the block, wrapping at the loop seam.
+    Returns pre (frames_pb, nfft)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    avg, nfft = window2d.shape
+    lead = avg - 1
+    total_frames = X_full.shape[0]
+    if bt is None:
+        bt = _pick_bt(frames_pb, nfft)
+    assert bt and frames_pb % bt == 0 and bt % _HALO_PAD == 0
+    assert 0 < lead <= _HALO_PAD
+    nr = frames_pb // bt
+    nunits = total_frames // _HALO_PAD
+    runit = bt // _HALO_PAD
+
+    a_map = lambda r, i, v: (i[0] * nr + r, 0)
+    halo_map = lambda r, i, v: (((i[0] * nr + r) * runit - 1) % nunits, 0)
+    const2 = lambda r, i, v: (0, 0)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((bt, nfft), a_map),
+            pl.BlockSpec((bt, nfft), a_map),
+            pl.BlockSpec((_HALO_PAD, nfft), halo_map),
+            pl.BlockSpec((_HALO_PAD, nfft), halo_map),
+            pl.BlockSpec((avg, nfft), const2),
+        ],
+        out_specs=(pl.BlockSpec((bt, nfft), lambda r, i, v: (r, 0)),
+                   pl.BlockSpec((bt, nfft), lambda r, i, v: (r, 0))),
+    )
+    kernel = functools.partial(_kernel_at, avg, bt)
+    o_re, o_im = pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=(jax.ShapeDtypeStruct((frames_pb, nfft), X_full.dtype),
+                   jax.ShapeDtypeStruct((frames_pb, nfft), X_full.dtype)),
+        interpret=interpret,
+    )(jnp.asarray(blk_idx, jnp.int32).reshape(1),
+      jnp.asarray(valid, jnp.int32).reshape(1),
+      X_full.re, X_full.im, X_full.re, X_full.im, window2d)
+    return C(o_re, o_im)

@@ -93,3 +93,54 @@ def test_replay_kernel_gates():
     rec = np.zeros(75_000, np.complex64)          # not block-commensurate
     rk = ReplayDDC(cfg, rec, block_len=50_000)
     assert not rk.ok
+
+
+def test_pfb_replay_matches_scan_form(monkeypatch):
+    """TONES (channelizer) replay via the prefetch-index pre-sum must
+    match the scan-form device replay across executions and loop wraps."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    rate, nfft, avg = 1_024_000, 64, 4
+    bin_hz = rate // nfft
+    freqs = [5 * bin_hz, -10 * bin_hz]
+    L = 64_000
+    rec = (RNG.standard_normal(2 * L) + 1j * RNG.standard_normal(2 * L)
+           ).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       samples=6 * L, freq=freqs, fft_tones=nfft,
+                       pf_average=avg, wave_type=[WaveType.TONES] * 2)
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr._kernel_path is not None and dr._kernel_path[0] == "pfb"
+    sink_k = MemorySink()
+    dr.run([sink_k])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    dr2 = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr2._kernel_path is None
+    sink_s = MemorySink()
+    dr2.run([sink_s])
+    assert sink_k.data.shape == sink_s.data.shape
+    assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
+
+
+def test_noise_replay_full_spectrum(monkeypatch):
+    """NOISE (full-spectrum) replay takes the kernel path too and agrees
+    with the golden PFB oracle on a looped recording's first pass."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    rate, nfft, avg = 1_024_000, 64, 4
+    L = 64_000
+    rec = (RNG.standard_normal(2 * L) + 1j * RNG.standard_normal(2 * L)
+           ).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       samples=2 * L, fft_tones=nfft, pf_average=avg,
+                       wave_type=[WaveType.NOISE])
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr._kernel_path is not None and dr._kernel_path[0] == "pfb"
+    sink = MemorySink()
+    dr.run([sink])
+    out = sink.data
+    ref = golden.pfb_frames(rec.astype(np.complex128), nfft, avg)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    assert golden.snr_db(ref[:n], out[skip:skip + n]) > 90.0

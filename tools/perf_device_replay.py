@@ -58,5 +58,46 @@ def main():
           flush=True)
 
 
+def main_pfb():
+    """Full-spectrum (config-4 style) replay from a recording."""
+    from gpu_sdr_tpu.config import configure_precision
+    configure_precision()
+    import jax
+    import jax.numpy as jnp
+    from gpu_sdr_tpu import golden
+    from gpu_sdr_tpu.engine.replay import DeviceReplay
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rate = 100_000_000
+    rec_samples = 16_000_000
+    rng = np.random.default_rng(0)
+    rec = (rng.standard_normal(rec_samples) +
+           1j * rng.standard_normal(rec_samples)).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                       samples=1_024_000_000, fft_tones=1000,
+                       pf_average=4, wave_type=[WaveType.NOISE])
+    dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
+    state = (dr._kernel_state_init() if dr._kernel_path is not None
+             else dr.demod.init_state())
+    print(json.dumps({"pfb_kernel_path": dr._kernel_path is not None}),
+          flush=True)
+    idx = jnp.int32(0)
+    state, idx, ys = dr._multi(state, idx)
+    jax.block_until_ready(ys)
+    K, L = 16, dr.demod.plan.block_len
+    n_exec = 16
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec):
+            state, idx, ys = dr._multi(state, idx)
+        jax.block_until_ready(ys)
+        dt = time.perf_counter() - t0
+        best = max(best, n_exec * K * L / dt / 1e6)
+    print(json.dumps({"variant": "device_replay_config4_fullspec",
+                      "Msps_best": round(best, 1)}), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    main_pfb()
