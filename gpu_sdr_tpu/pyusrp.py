@@ -356,3 +356,14 @@ from .engine.channel import (ChainChannel, DelayChannel,  # noqa: F401,E402
                              FrequencyResponseChannel, IdealChannel,
                              make_resonator_channel)
 from .measure import run_measurement  # noqa: F401,E402
+
+# ----------------------------------------------------------------------
+# reference USRP_low_level module-level constants
+# (pyUSRP/USRP_low_level.py:23-73): wire dtypes and server address
+# ----------------------------------------------------------------------
+from .server import wire as _wire  # noqa: E402
+header_type = _wire.header_dtype           # RX_wrapper packet header dtype
+data_type = _np.complex64                  # payload sample dtype
+USRP_IP_ADDR = "127.0.0.1"                 # in-process server default
+USRP_server_address = (USRP_IP_ADDR, _wire.ASYNC_PORT)
+USRP_server_address_data = (USRP_IP_ADDR, _wire.SYNC_PORT)

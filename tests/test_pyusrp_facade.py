@@ -42,6 +42,19 @@ trigger_template deriv_test amplitude_trigger
 """.split()
 
 
+def test_facade_wire_constants():
+    """P1 module constants (USRP_low_level): the RX_wrapper header dtype,
+    payload dtype and server addresses."""
+    import numpy as _np
+    assert u.data_type is _np.complex64
+    assert u.header_type.itemsize == 21
+    assert [n for n, *_ in u.header_type.descr] == [
+        "usrp_number", "front_end_code", "packet_number", "length",
+        "errors", "channels"]
+    assert u.USRP_server_address[1] == 22001
+    assert u.USRP_server_address_data[1] == 61360
+
+
 def test_facade_covers_reference_namespace():
     missing = [n for n in REFERENCE_NAMES if not hasattr(u, n)]
     assert not missing, f"pyusrp facade missing reference names: {missing}"
