@@ -52,6 +52,8 @@ class DeviceReplay:
         self._kernel_path = self._try_replay_kernel(L, n)
         if self._kernel_path is None:
             self._kernel_path = self._try_pfb_replay(L, n)
+        if self._kernel_path is None:
+            self._kernel_path = self._try_chirp_replay(L, n)
         if self._kernel_path is not None:
             return
         nblk = max(1, -(-n // L))            # data blocks (tail padded)
@@ -196,6 +198,55 @@ class DeviceReplay:
         self._multi = multi
         self._kernel_state_init = lambda: jnp.int32(0)   # started flag
         return ("pfb", cfg)
+
+    def _try_chirp_replay(self, L, n):
+        """CHIRP (VNA lock-in) replay without dynamic_slice copies or a
+        materialized demodulated stream: segments are read in place from
+        the recording (ops/pallas_lockin.pallas_chirp_lockin_at); the
+        carried state is the stream's uint32 chirp phase position (the
+        lock-in segments are disjoint — no halo at all)."""
+        from ..config import use_pallas_pfb
+        from ..ops import chirp as chirp_ops
+        from ..ops import lockin as lockin_ops
+        from ..ops.pallas_lockin import pallas_chirp_lockin_at
+        from ..params import WaveType, chirp_steps_and_length
+        rx = self.rx
+        if not (self.loop and n % L == 0 and rx.wave_type and
+                rx.wave_type[0] == WaveType.CHIRP and
+                int(rx.decim) >= 1 and use_pallas_pfb()):
+            return None
+        steps, length = chirp_steps_and_length(rx)
+        cfg = chirp_ops.ChirpConfig.from_params(
+            rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
+        ppt = length * int(rx.decim)
+        if L % ppt != 0:
+            return None
+        nseg_pb = L // ppt
+        if nseg_pb % 8 != 0:
+            return None
+        profile = jnp.asarray(lockin_ops.lockin_profile(ppt))
+        buf = np.asarray(self.data, dtype=np.complex64)
+        xc = cplx.from_np(buf)
+        Xf = C(xc.re.reshape(n // ppt, ppt), xc.im.reshape(n // ppt, ppt))
+        self.n_rec_blocks = nblk = n // L
+        K = self.blocks_per_exec
+
+        @jax.jit
+        def multi(last, idx):
+            def body(carry, _):
+                lst, i = carry
+                lst, y = pallas_chirp_lockin_at(cfg, profile, lst, Xf, i,
+                                                nseg_pb)
+                nxt = i + 1
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+                return (lst, nxt), C(y.re[:, None], y.im[:, None])
+            (last2, idx2), ys = jax.lax.scan(body, (last, idx), None,
+                                             length=K)
+            return last2, idx2, ys
+
+        self._multi = multi
+        self._kernel_state_init = lambda: jnp.uint32(0)
+        return ("chirp", cfg)
 
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:

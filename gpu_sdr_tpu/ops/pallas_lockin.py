@@ -116,3 +116,61 @@ def fused_chirp_lockin(cfg: ChirpConfig, profile: jax.Array,
     from .lockin import lockin_decimate
     last, z = chirp_demod_block(cfg, last_index, x)
     return last, lockin_decimate(profile, z)
+
+
+def pallas_chirp_lockin_at(cfg: ChirpConfig, profile: jax.Array,
+                           last_index: jax.Array, X_full: C,
+                           blk_idx: jax.Array, nseg_pb: int,
+                           seg_tile: int = 8,
+                           interpret: bool | None = None):
+    """Replay form of :func:`pallas_chirp_lockin`: the block's segments
+    are read in place from an HBM-resident recording via a
+    scalar-prefetched block index (no dynamic_slice copy, no
+    materialized demodulated stream).
+
+    X_full: (total_nseg, ppt) recording view (total_nseg a multiple of
+    nseg_pb); blk_idx: int32 recording-block index; last_index: uint32
+    chirp phase position of the STREAM (carried by the caller — the
+    stream position and the recording index diverge when looping).
+    Returns (new_last_index, y: C(nseg_pb,))."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    ppt = profile.shape[0]
+    assert X_full.shape[1] == ppt
+    assert nseg_pb % seg_tile == 0
+    nr = nseg_pb // seg_tile
+    last_arr = jnp.asarray(last_index, dtype=jnp.uint32).reshape(1)
+    idx_arr = jnp.asarray(blk_idx, dtype=jnp.int32).reshape(1)
+
+    x_map = lambda s, i: (i[0] * nr + s, 0)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # last_index
+            pl.BlockSpec((seg_tile, ppt), x_map),        # x re
+            pl.BlockSpec((seg_tile, ppt), x_map),        # x im
+            pl.BlockSpec((ppt,), lambda s, i: (0,)),     # profile
+        ],
+        out_specs=(
+            pl.BlockSpec((seg_tile, 1), lambda s, i: (s, 0)),
+            pl.BlockSpec((seg_tile, 1), lambda s, i: (s, 0)),
+        ),
+    )
+    def kernel(idx_ref, last_ref, xr_ref, xi_ref, w_ref, or_ref, oi_ref):
+        # idx_ref is consumed by the BlockSpec index maps only
+        _kernel(cfg, seg_tile, ppt, last_ref, xr_ref, xi_ref, w_ref,
+                or_ref, oi_ref)
+
+    out_shape = (jax.ShapeDtypeStruct((nseg_pb, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((nseg_pb, 1), jnp.float32))
+    o_re, o_im = pl.pallas_call(
+        kernel, grid_spec=gs, out_shape=out_shape, interpret=interpret,
+    )(idx_arr, last_arr, X_full.re, X_full.im, profile)
+    L = nseg_pb * ppt
+    new_last = (last_index + jnp.uint32(L % cfg.period)) % \
+        jnp.uint32(cfg.period)
+    return new_last, C(o_re[:, 0], o_im[:, 0])

@@ -144,3 +144,31 @@ def test_noise_replay_full_spectrum(monkeypatch):
     skip = avg - 1
     n = min(len(ref), len(out) - skip)
     assert golden.snr_db(ref[:n], out[skip:skip + n]) > 90.0
+
+
+def test_chirp_replay_matches_scan_form(monkeypatch):
+    """CHIRP (VNA lock-in) replay via the in-place kernel must match the
+    scan-form device replay across executions and loop wraps."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    rate = 1_000_000
+    # swipe_s=100 steps over 0.1 s -> length=1000; decim=5 -> ppt=5000
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=80_000,
+                       samples=480_000, freq=[-300_000],
+                       chirp_f=[300_000], chirp_t=[0.1], swipe_s=[100],
+                       decim=5, wave_type=[WaveType.CHIRP])
+    L = 80_000
+    rec = (RNG.standard_normal(2 * L) + 1j * RNG.standard_normal(2 * L)
+           ).astype(np.complex64)
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr._kernel_path is not None and dr._kernel_path[0] == "chirp"
+    sink_k = MemorySink()
+    dr.run([sink_k])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    dr2 = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr2._kernel_path is None
+    sink_s = MemorySink()
+    dr2.run([sink_s])
+    assert sink_k.data.shape == sink_s.data.shape
+    assert golden.snr_db(sink_s.data, sink_k.data) > 90.0

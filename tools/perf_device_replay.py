@@ -98,6 +98,48 @@ def main_pfb():
                       "Msps_best": round(best, 1)}), flush=True)
 
 
+def main_chirp():
+    """VNA (chirp lock-in) replay from a recording, config-2 shape."""
+    from gpu_sdr_tpu.config import configure_precision
+    configure_precision()
+    import jax
+    import jax.numpy as jnp
+    from gpu_sdr_tpu.engine.replay import DeviceReplay
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rate = 100_000_000
+    rec_samples = 16_000_000
+    rng = np.random.default_rng(1)
+    rec = (rng.standard_normal(rec_samples) +
+           1j * rng.standard_normal(rec_samples)).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                       samples=1_024_000_000, freq=[-40_000_000],
+                       chirp_f=[40_000_000], chirp_t=[1.0],
+                       swipe_s=[5000], decim=1,
+                       wave_type=[WaveType.CHIRP])
+    dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
+    state = (dr._kernel_state_init() if dr._kernel_path is not None
+             else dr.demod.init_state())
+    print(json.dumps({"chirp_kernel_path": dr._kernel_path is not None}),
+          flush=True)
+    idx = jnp.int32(0)
+    state, idx, ys = dr._multi(state, idx)
+    jax.block_until_ready(ys)
+    K, L = 16, dr.demod.plan.block_len
+    n_exec = 16
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec):
+            state, idx, ys = dr._multi(state, idx)
+        jax.block_until_ready(ys)
+        dt = time.perf_counter() - t0
+        best = max(best, n_exec * K * L / dt / 1e6)
+    print(json.dumps({"variant": "device_replay_config2_vna",
+                      "Msps_best": round(best, 1)}), flush=True)
+
+
 if __name__ == "__main__":
     main()
     main_pfb()
+    main_chirp()
