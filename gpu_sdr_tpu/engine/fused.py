@@ -37,23 +37,27 @@ class FusedLoopback:
         self.demod = make_demodulator(self.rx)
         K = self.blocks_per_exec
         chain = self._try_tones_direct_chain()
+        if chain is None:
+            chain = self._try_chirp_chain()
         # the chain replaces TX generation entirely — don't materialize an
         # unused generator (a periodic comb's wavetable constant is ~MBs)
         self.gen = None if chain is not None else make_generator(
             self.tx, block_len=self.demod.plan.block_len)
         if chain is not None:
-            # single-kernel synth+DDC chain (ops/pallas_chain.py): the comb
-            # never touches HBM, the K-block loop is a kernel grid axis
-            # (no lax.scan, no per-block output-stacking copies), and the
-            # streaming state is three phase vectors
+            # single-kernel chain: either in-kernel comb synthesis
+            # (ops/pallas_chain.py) or the chirp wavetable + in-place
+            # lock-in (the chirp is exactly periodic in the integer
+            # accumulator, so one period generated at build time serves
+            # the whole stream — the reference's TONES wavetable trick
+            # applied to CHIRP)
             self._init_states = lambda: (chain.init_state(), ())
-            nb = self.demod.plan.block_len // int(self.rx.decim)
+            rows = self.demod.plan.out_rows
             Cp = self.demod.n_channels
 
             @jax.jit
             def multi(gstate, dstate):
                 gstate, y = chain.multi_step(gstate, K)
-                return gstate, dstate, y.reshape(K, nb, Cp)
+                return gstate, dstate, y.reshape(K, rows, Cp)
         else:
             gen_step = self.gen.step
             demod_step = self.demod.step
@@ -118,6 +122,42 @@ class FusedLoopback:
                                  tx_ampls=ampls, cfg=dcfg, block_len=L)
         return chain if chain.ok else None
 
+    def _try_chirp_chain(self):
+        """CHIRP->CHIRP loopback via a one-period chirp wavetable + the
+        in-place lock-in kernel.  The integer-phase chirp repeats exactly
+        every num_steps*length samples, so one period generated at build
+        time (in HBM) serves the whole stream, and each block costs only
+        the demod+lock-in read — measured 13.5 Gsps at the config-2 shape
+        vs 9.6 for the gen+demod scan."""
+        tx, rx = self.tx, self.rx
+        if not (tx.wave_type and tx.wave_type[0] == WaveType.CHIRP
+                and rx.wave_type and rx.wave_type[0] == WaveType.CHIRP):
+            return None
+        if tx.burst_on > 0 or int(rx.decim) < 1:
+            return None
+        from ..config import use_pallas_pfb
+        if not use_pallas_pfb():
+            return None
+        # the wavetable is the TX signal; demod params must match it
+        for attr in ("freq", "chirp_f", "chirp_t", "swipe_s"):
+            a, b = getattr(tx, attr), getattr(rx, attr)
+            if not a or not b or a[0] != b[0]:
+                return None
+        from ..ops import chirp as chirp_ops
+        from ..params import chirp_steps_and_length
+        steps, length = chirp_steps_and_length(rx)
+        cfg = chirp_ops.ChirpConfig.from_params(
+            rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
+        L = self.demod.plan.block_len
+        ppt = length * int(rx.decim)
+        period = cfg.period
+        from .replay import DEVICE_REPLAY_MAX_BYTES
+        if (L % ppt != 0 or (L // ppt) % 8 != 0 or period % L != 0 or
+                period * 8 > DEVICE_REPLAY_MAX_BYTES):
+            return None
+        scale = float(tx.ampl[0]) if tx.ampl else 1.0
+        return _ChirpWavetableChain(cfg, L, ppt, scale)
+
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
         """Stream the full acquisition through the fused chain."""
@@ -135,6 +175,60 @@ class FusedLoopback:
                            plan.block_len, self.demod.n_channels,
                            plan.total_out_rows, sinks,
                            usrp_number=usrp_number, front_end=front_end)
+
+
+class _ChirpWavetableChain:
+    """One-period chirp wavetable (generated on device at build) + the
+    in-place lock-in kernel (ops/pallas_lockin.pallas_chirp_lockin_at).
+    Streaming state: (uint32 chirp phase position, int32 period-block
+    index)."""
+
+    def __init__(self, cfg, L: int, ppt: int, scale: float):
+        import jax.numpy as jnp
+        from ..ops import chirp as chirp_ops
+        from ..ops import lockin as lockin_ops
+        from ..ops.cplx import C
+        self.cfg, self.L, self.ppt = cfg, L, ppt
+        self.nseg_pb = L // ppt
+        self.nblk = cfg.period // L
+        self.profile = jnp.asarray(lockin_ops.lockin_profile(ppt))
+
+        @jax.jit
+        def gen_period():
+            def body(last, _):
+                last, x = chirp_ops.chirp_block(cfg, last, L, scale=scale)
+                return last, x
+            _, xs = jax.lax.scan(body, jnp.uint32(0), None,
+                                 length=self.nblk)
+            return xs            # C((nblk, L), (nblk, L))
+
+        xs = gen_period()
+        total_nseg = cfg.period // ppt
+        self._Xf = C(xs.re.reshape(total_nseg, ppt),
+                     xs.im.reshape(total_nseg, ppt))
+
+    def init_state(self):
+        import jax.numpy as jnp
+        return (jnp.uint32(0), jnp.int32(0))
+
+    def multi_step(self, state, K: int):
+        import jax.numpy as jnp
+        from ..ops.cplx import C
+        from ..ops.pallas_lockin import pallas_chirp_lockin_at
+        last, idx = state
+        nblk, nseg_pb = self.nblk, self.nseg_pb
+
+        def body(carry, _):
+            lst, i = carry
+            lst, y = pallas_chirp_lockin_at(self.cfg, self.profile, lst,
+                                            self._Xf, i, nseg_pb)
+            nxt = i + 1
+            nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+            return (lst, nxt), C(y.re[:, None], y.im[:, None])
+
+        (last, idx), ys = jax.lax.scan(body, (last, idx), None, length=K)
+        return (last, idx), C(ys.re.reshape(K * nseg_pb, 1),
+                              ys.im.reshape(K * nseg_pb, 1))
 
 
 _FUSABLE = {

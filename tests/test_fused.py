@@ -97,3 +97,33 @@ def test_fused_tones_direct_single_kernel_chain(monkeypatch):
     n = min(len(a), len(b))
     assert n > 0
     assert golden.snr_db(b[:n], a[:n]) > 90.0
+
+
+def test_fused_chirp_wavetable_chain(monkeypatch):
+    """With Pallas forced on, a commensurate CHIRP->CHIRP loopback uses
+    the one-period chirp wavetable + in-place lock-in and matches the
+    gen+demod scan path."""
+    from gpu_sdr_tpu import golden
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate = 1_000_000
+    # steps=64 over 0.128 s -> length=2000; decim=1 -> ppt=2000;
+    # period = 128_000 = 2 blocks of L=64_000; nseg_pb = 32 (8-aligned)
+    kw = dict(rate=rate, buffer_len=64_000, samples=512_000,
+              freq=[-300_000], chirp_f=[300_000], chirp_t=[0.128],
+              swipe_s=[64], delay=1.0)
+    tx = AntennaParams(mode=AntMode.TX, ampl=[0.7],
+                       wave_type=[WaveType.CHIRP], **kw)
+    rx = AntennaParams(mode=AntMode.RX, decim=1,
+                       wave_type=[WaveType.CHIRP], **kw)
+    fused = FusedLoopback(tx, rx, blocks_per_exec=2)
+    assert fused._init_states()[1] == (), "wavetable chain must engage"
+    sink_k = MemorySink()
+    fused.run([sink_k])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    fused2 = FusedLoopback(tx, rx, blocks_per_exec=2)
+    assert fused2.gen is not None
+    sink_s = MemorySink()
+    fused2.run([sink_s])
+    assert sink_k.data.shape == sink_s.data.shape
+    assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
