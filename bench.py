@@ -106,9 +106,18 @@ def bench_loopback_1000(n_blocks: int = 512,
         spare, ys = jax.lax.scan(body, spare, None, length=K)
         return spare, ys
 
+    import numpy as np_
+
+    def hard_sync(arr):
+        # this rig's block_until_ready can ack before execution completes
+        # until a real device->host fetch has drained the pipeline
+        # (tools/rig_probe.py); fetch one element to force completion
+        return float(np_.asarray(jax.device_get(arr.re[0, 0, 0])))
+
     spare = pfb_spare_init(cfg)
     spare, ys = multi(spare)                # compile + warm up
     jax.block_until_ready(ys)
+    hard_sync(ys)
 
     # best-of-4 timing rounds: the relay adds run-to-run jitter of a few
     # percent; the best round is the honest device throughput
@@ -120,6 +129,7 @@ def bench_loopback_1000(n_blocks: int = 512,
         for _ in range(per_round):
             spare, ys = multi(spare)
         jax.block_until_ready(ys)
+        hard_sync(ys)
         dt = time.perf_counter() - t0
         best = max(best, per_round * K * block_len / dt / 1e6)
     return best

@@ -42,6 +42,7 @@ class Connection:
         self.end_of_measure = threading.Event()
         self.error_status = threading.Event()
         self.remote_filename: Optional[str] = None
+        self.ingest_port: Optional[int] = None
         self._stop = threading.Event()
         self._sync_thread = threading.Thread(target=self._sync_rx,
                                              name="Sync_RX", daemon=True)
@@ -97,6 +98,13 @@ class Connection:
                 try:
                     self.remote_filename = payload.split('"')[1]
                 except IndexError:
+                    pass
+            elif payload.startswith("ingest port "):
+                # host-fed mode: the server announces where to stream raw
+                # complex64 IQ for this measurement
+                try:
+                    self.ingest_port = int(payload.rsplit(" ", 1)[1])
+                except ValueError:
                     pass
         elif res.get("type") == "nack":
             self.error_status.set()

@@ -208,7 +208,16 @@ def spec_from_samples(samples, sampling_rate=1, welch=None, dbc=False,
     f, im = signal.welch(samples[s0:s1].imag, nperseg=welch,
                          fs=sampling_rate, detrend="linear",
                          scaling="density")
-    return f, 10 * np.log10(re), 10 * np.log10(im)
+    return f, _db10(re), _db10(im)
+
+
+def _db10(power):
+    """10*log10 with a floor on zero bins (a detrended constant stream has
+    exactly-zero Welch bins; the reference lets them go to -inf dB,
+    pyUSRP/USRP_noise.py:699-702 — we clamp so plots and H5 files stay
+    finite)."""
+    power = np.asarray(power)
+    return 10 * np.log10(np.maximum(power, np.finfo(np.float32).tiny))
 
 
 def expected_samples_per_channel_file(filename, usrp_number=0, ant=None):
@@ -280,7 +289,7 @@ def calculate_noise(filename, welch=None, dbc=False, rotate=True,
             proc = proc[:, clip_samples:proc.shape[1] - clip_samples]
         f, p_re = batched_welch(proc.real, sampling_rate, nperseg)
         _, p_im = batched_welch(proc.imag, sampling_rate, nperseg)
-        results = [(f, 10 * np.log10(p_re[i]), 10 * np.log10(p_im[i]))
+        results = [(f, _db10(p_re[i]), _db10(p_im[i]))
                    for i in range(len(proc))]
     else:
         results = [spec_from_samples(ch, sampling_rate=sampling_rate,

@@ -20,3 +20,4 @@ from .generator import make_generator, Generator  # noqa: F401
 from .pipeline import run_pipeline, PipelineResult  # noqa: F401
 from .checkpoint import save_state, load_state  # noqa: F401
 from .fused import FusedLoopback, can_fuse  # noqa: F401
+from .ingest import HostFeed, SocketIngestSource  # noqa: F401

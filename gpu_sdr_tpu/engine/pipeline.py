@@ -91,20 +91,34 @@ def run_chunked(step, init_state, n_exec: int, n_blocks: int,
 def run_pipeline(demod: Demodulator, source: Source,
                  sinks: Sequence[Sink] = (), n_blocks: Optional[int] = None,
                  usrp_number: int = 0, front_end: str = "A",
-                 depth: int = 2) -> PipelineResult:
+                 depth: int = 2, feed_depth: int = 2) -> PipelineResult:
     """Stream `n_blocks` blocks from source through the demodulator into
-    the sinks.  Returns throughput accounting."""
+    the sinks.  Returns throughput accounting.
+
+    `feed_depth` > 0 runs ingest through a HostFeed (engine/ingest.py): a
+    feeder thread converts + device_puts blocks up to `feed_depth` ahead,
+    overlapping the host->device transfer of block i+1 with the device
+    compute of block i — the reference's pinned-pool double buffering
+    (cpp/USRP_server_link_threads.cpp:604-702).  0 feeds inline."""
     plan = demod.plan
     nb = n_blocks if n_blocks is not None else plan.n_blocks
     for s in sinks:
         s.on_start(demod.n_channels, plan.total_out_rows)
+
+    if feed_depth > 0:
+        from .ingest import HostFeed
+        stream = HostFeed(source, depth=feed_depth).device_blocks(
+            plan.block_len, nb)
+    else:
+        take_errors = getattr(source, "take_errors", lambda: 0)
+        stream = ((cplx.from_np(b), int(take_errors()))
+                  for b in source.blocks(plan.block_len, nb))
 
     state = demod.init_state()
     inflight = collections.deque()
     rows = 0
     pkt = 0
     t0 = time.perf_counter()
-    take_errors = getattr(source, "take_errors", lambda: 0)
 
     def drain_one():
         nonlocal rows, pkt
@@ -120,9 +134,9 @@ def run_pipeline(demod: Demodulator, source: Source,
         pkt += 1
 
     try:
-        for blk in source.blocks(plan.block_len, nb):
-            state, y = demod.step(state, cplx.from_np(blk))
-            inflight.append((y, int(take_errors())))
+        for x, errs in stream:
+            state, y = demod.step(state, x)
+            inflight.append((y, errs))
             if len(inflight) > depth:
                 drain_one()
         while inflight:

@@ -42,6 +42,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "this build has no radio hardware)")
     p.add_argument("--replay", type=str, default=None,
                    help="replay IQ stream from file instead of loopback")
+    p.add_argument("--ingest", type=int, nargs="?", const=wire.INGEST_PORT,
+                   default=None, metavar="PORT",
+                   help="host-fed ingest: per measurement, listen on PORT "
+                        f"(default {wire.INGEST_PORT}; 0 = ephemeral, "
+                        "announced in an 'ingest port N' ack) for a raw "
+                        "complex64 TCP stream that replaces the radio")
     p.add_argument("--clock", type=str, default="internal",
                    choices=["internal", "external"])
     p.add_argument("--async_port", "--async", dest="async_port", type=int,
@@ -67,7 +73,8 @@ class Server:
                  data_port: int = wire.SYNC_PORT,
                  file_writing: bool = False, tcp_streaming: bool = True,
                  replay: Optional[str] = None, channel=None,
-                 host: str = "0.0.0.0", use_native: Optional[bool] = None):
+                 host: str = "0.0.0.0", use_native: Optional[bool] = None,
+                 ingest_port: Optional[int] = None):
         self.settings = ServerSettings(tcp_streaming=tcp_streaming,
                                        file_writing=file_writing)
         self.sync = None
@@ -87,7 +94,8 @@ class Server:
             self.async_srv.on_disconnect = self.sync.drop_client
         source = ReplaySource(replay) if replay else None
         self.txrx = TXRX(self.settings, sync_server=self.sync,
-                         channel=channel, source=source)
+                         channel=channel, source=source,
+                         ingest_port=ingest_port)
         self._active = True
 
     @property
@@ -118,6 +126,11 @@ class Server:
         self.async_srv.send(server_ack("parameters accepted"))
         self.txrx.set(params)
         self.txrx.start()
+        if self.txrx.ingest_port is not None and self.txrx.source is None:
+            port = self.txrx.wait_ingest_port()
+            if port is not None:
+                # tell the producer-side client where to stream raw IQ
+                self.async_srv.send(server_ack(f"ingest port {port}"))
         while not self.txrx.stop():
             time.sleep(0.1)          # reference polls every 500 ms
         if self.sync is not None:

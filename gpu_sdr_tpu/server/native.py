@@ -59,9 +59,92 @@ def load_library() -> Optional[ctypes.CDLL]:
             if hasattr(lib, "sdr_stream_server_drop_client"):
                 lib.sdr_stream_server_drop_client.argtypes = [
                     ctypes.c_void_p]
+            if hasattr(lib, "sdr_ingest_create"):
+                lib.sdr_ingest_create.restype = ctypes.c_void_p
+                lib.sdr_ingest_create.argtypes = [
+                    ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t]
+                lib.sdr_ingest_port.restype = ctypes.c_int
+                lib.sdr_ingest_port.argtypes = [ctypes.c_void_p]
+                lib.sdr_ingest_pop.restype = ctypes.c_int
+                lib.sdr_ingest_pop.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p]
+                for name in ("pending", "connected", "eof"):
+                    fn = getattr(lib, f"sdr_ingest_{name}")
+                    fn.restype = ctypes.c_int
+                    fn.argtypes = [ctypes.c_void_p]
+                for name in ("blocks_received", "overflows", "fragments"):
+                    fn = getattr(lib, f"sdr_ingest_{name}")
+                    fn.restype = ctypes.c_ulonglong
+                    fn.argtypes = [ctypes.c_void_p]
+                lib.sdr_ingest_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
             return lib
     return None
+
+
+def ingest_available() -> bool:
+    lib = load_library()
+    return lib is not None and hasattr(lib, "sdr_ingest_create")
+
+
+class NativeIngest:
+    """ctypes handle to the C++ TCP ingest receiver (stream_ingest.cpp):
+    a producer connects and streams raw complex64 bytes; a native thread
+    reassembles fixed-size blocks into an SPSC ring we pop here.
+
+    The native counterpart of the reference's UHD RX thread + rx_queue
+    (single_rx_thread, cpp/USRP_hardware_manager.cpp:1398-1611)."""
+
+    def __init__(self, block_len: int, port: int = 0, queue_len: int = 16):
+        lib = load_library()
+        if lib is None or not hasattr(lib, "sdr_ingest_create"):
+            raise RuntimeError("native ingest library not built")
+        self._lib = lib
+        self.block_len = int(block_len)
+        self.block_bytes = 8 * self.block_len     # complex64
+        self._h = lib.sdr_ingest_create(port, self.block_bytes, queue_len)
+        if not self._h:
+            raise RuntimeError(f"cannot bind native ingest to port {port}")
+        self.port = lib.sdr_ingest_port(self._h)
+
+    def pop_block(self, timeout: float = 10.0) -> Optional[np.ndarray]:
+        """Blocking pop of one complex64 block; None on EOF with an empty
+        ring, raises TimeoutError if no producer delivers in time."""
+        out = np.empty(self.block_len, dtype=np.complex64)
+        ptr = out.ctypes.data_as(ctypes.c_void_p)
+        t0 = time.monotonic()
+        while True:
+            if self._lib.sdr_ingest_pop(self._h, ptr):
+                return out
+            if self._lib.sdr_ingest_eof(self._h) and \
+                    self._lib.sdr_ingest_pending(self._h) == 0:
+                return None
+            if time.monotonic() - t0 > timeout:
+                raise TimeoutError("ingest: no data from producer")
+            time.sleep(0.0005)
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "blocks_received": int(
+                self._lib.sdr_ingest_blocks_received(self._h)),
+            "overflows": int(self._lib.sdr_ingest_overflows(self._h)),
+            "fragments": int(self._lib.sdr_ingest_fragments(self._h)),
+        }
+
+    def connected(self) -> bool:
+        return bool(self._lib.sdr_ingest_connected(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.sdr_ingest_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def available() -> bool:

@@ -46,13 +46,21 @@ class TXRX:
                  sync_server: Optional[SyncServer] = None,
                  channel: Optional[Channel] = None,
                  source: Optional[Source] = None,
-                 file_writing: Optional[bool] = None):
+                 file_writing: Optional[bool] = None,
+                 ingest_port: Optional[int] = None):
         self.settings = settings
         self.sync_server = sync_server
         self.channel = channel or IdealChannel()
         self.source = source
         self.file_writing = (settings.file_writing if file_writing is None
                              else file_writing)
+        # host-fed ingest: when set, each measurement binds a native TCP
+        # receiver on this port (0 = ephemeral) and RX consumes the raw
+        # complex64 stream an external producer sends — the live-radio
+        # analog of the reference's UHD RX path
+        self.ingest_port = ingest_port
+        self.active_ingest_port: Optional[int] = None
+        self._ingest_ready = threading.Event()
         self._params: Optional[UsrpParams] = None
         self._thread: Optional[threading.Thread] = None
         self._done = threading.Event()
@@ -65,7 +73,14 @@ class TXRX:
         params.validate()
         self._params = params
         self._done.clear()
+        self._ingest_ready.clear()
         self._error = None
+
+    def wait_ingest_port(self, timeout: float = 10.0) -> Optional[int]:
+        """Port the running measurement's ingest receiver listens on
+        (None when ingest is not enabled)."""
+        self._ingest_ready.wait(timeout)
+        return self.active_ingest_port
 
     def start(self) -> None:
         """Launch the staged measurement asynchronously
@@ -76,7 +91,23 @@ class TXRX:
                                         daemon=True)
         self._thread.start()
 
+    def _make_ingest_source(self):
+        """Bind the native ingest receiver for this measurement (block
+        size comes from the RX plan, like the reference sizing its pinned
+        pools per measurement in TXRX::set)."""
+        from ..engine.ingest import SocketIngestSource
+        from ..engine.planner import plan_blocks
+        from ..params import AntMode
+        for _name, rx in self._params.active_antennas(AntMode.RX):
+            blk = plan_blocks(rx).block_len
+            src = SocketIngestSource(block_len=blk, port=self.ingest_port)
+            log.info("ingest listening on port %d (block %d)",
+                     src.port, blk)
+            return src
+        return None
+
     def _run(self) -> None:
+        ingest = None
         try:
             extra = []
             if self.sync_server is not None and \
@@ -87,13 +118,21 @@ class TXRX:
                 import datetime
                 stamp = datetime.datetime.now().strftime("%d%m%Y_%H%M%S")
                 filename = f"USRP_{stamp}"
+            source = self.source
+            if source is None and self.ingest_port is not None:
+                source = ingest = self._make_ingest_source()
+            self.active_ingest_port = ingest.port if ingest else None
+            self._ingest_ready.set()
             self.last_filename = run_measurement(
                 self._params, filename, channel=self.channel,
-                source=self.source, extra_sinks=extra)
+                source=source, extra_sinks=extra)
         except Exception as e:   # surfaced through stop()/nack
             log.exception("measurement failed")
             self._error = e
         finally:
+            if ingest is not None:
+                ingest.close()
+                self.active_ingest_port = None
             self._done.set()
 
     def stop(self, force: bool = False) -> bool:

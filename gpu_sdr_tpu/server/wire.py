@@ -28,6 +28,9 @@ import numpy as np
 
 SYNC_PORT = 61360
 ASYNC_PORT = 22001
+# raw-IQ ingest port (no reference analog: the radio was on a dedicated
+# 10 GbE link; here an external producer streams complex64 over TCP)
+INGEST_PORT = 61362
 
 HEADER_STRUCT = struct.Struct("<i c i i i i")
 HEADER_SIZE = 21

@@ -12,8 +12,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "tools", "multihost_rehearsal.py")
 
@@ -24,8 +22,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_sharded_chain_matches_golden():
+    # no pytest-timeout in this image; the communicate(timeout=240) below
+    # is the real watchdog
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # script sets its own device count
