@@ -119,6 +119,27 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                            trigger, mesh, tags, H5Sink):
     results = []
     out_name = None
+    # Concurrent A/B frontends: >=2 fusable RX chains advance in
+    # lock-step inside ONE jitted program on a shared sample timebase
+    # (the reference's synchronized per-frontend thread chains,
+    # cpp/USRP_server_link_threads.cpp:249-397)
+    if source is None and channel is None:
+        from .engine.dual import DualFused, plan_dual
+        pairs = plan_dual(params, mesh=mesh)
+        if pairs is not None:
+            sinks_per_fe = []
+            for rx_name, _tx, _rx in pairs:
+                sinks = list(extra_sinks)
+                if filename is not None:
+                    h5 = H5Sink(filename, params, ant_name=rx_name,
+                                trigger=trigger, **tags)
+                    sinks.append(h5)
+                    out_name = h5.filename
+                sinks_per_fe.append(sinks)
+            dual = DualFused(pairs)
+            results = dual.run(sinks_per_fe,
+                               usrp_number=params.usrp_number)
+            return out_name if filename is not None else None
     for rx_name, rx in params.active_antennas(AntMode.RX):
         # Fast path: ideal loopback with no channel model fuses the whole
         # TX->demod chain on-device, scan-chained (engine/fused.py)

@@ -1,0 +1,92 @@
+"""Concurrent A/B frontends (engine/dual.py): both chains advance in
+lock-step inside one jitted program on a shared sample timebase — the
+reference's synchronized per-frontend thread chains
+(cpp/USRP_server_link_threads.cpp:249-397)."""
+
+import numpy as np
+
+from gpu_sdr_tpu.client import files as Ufiles
+from gpu_sdr_tpu.engine.dual import DualFused, plan_dual
+from gpu_sdr_tpu.engine.fused import FusedLoopback
+from gpu_sdr_tpu.engine.sinks import MemorySink
+from gpu_sdr_tpu.measure import run_measurement
+from gpu_sdr_tpu.params import AntennaParams, AntMode, UsrpParams, WaveType
+
+
+def _fe(params, fe, tx_freq, rx_freq, rate=1_000_000, samples=400_000):
+    setattr(params, f"{fe}_TXRX", AntennaParams(
+        mode=AntMode.TX, rate=rate, buffer_len=100_000, samples=samples,
+        freq=[tx_freq], ampl=[0.5], wave_type=[WaveType.TONES]))
+    setattr(params, f"{fe}_RX2", AntennaParams(
+        mode=AntMode.RX, rate=rate, buffer_len=100_000, samples=samples,
+        decim=100, pf_average=4, freq=[rx_freq],
+        wave_type=[WaveType.DIRECT]))
+
+
+def test_plan_dual_engages_for_two_fusable_frontends():
+    p = UsrpParams()
+    _fe(p, "A", 100_000, 100_000)
+    _fe(p, "B", -70_000, -70_000)
+    pairs = plan_dual(p)
+    assert pairs is not None
+    assert [name for name, _, _ in pairs] == ["A_RX2", "B_RX2"]
+    # single frontend -> no dual plan
+    q = UsrpParams()
+    _fe(q, "A", 100_000, 100_000)
+    assert plan_dual(q) is None
+
+
+def test_dual_matches_sequential_bit_exactly():
+    """Lock-step execution must not change either chain's output."""
+    p = UsrpParams()
+    _fe(p, "A", 100_000, 100_000)
+    _fe(p, "B", -70_000, -70_000)
+    pairs = plan_dual(p)
+    dual = DualFused(pairs)
+    sinks = [MemorySink(), MemorySink()]
+    res = dual.run([[sinks[0]], [sinks[1]]])
+    assert len(res) == 2
+    for (name, tx, rx), sink in zip(pairs, sinks):
+        ref_sink = MemorySink()
+        FusedLoopback(tx, rx).run([ref_sink], front_end=name[0])
+        np.testing.assert_array_equal(ref_sink.data, sink.data)
+
+
+def test_dual_shared_timebase_phase_alignment():
+    """Both frontends demodulate their tone 1 kHz off-carrier; the
+    residual rotations must start from the same t=0 (equal initial phase
+    after transient), proving packet k of A and B covers the same sample
+    indices."""
+    df = 1_000
+    p = UsrpParams()
+    _fe(p, "A", 100_000, 100_000 - df)
+    _fe(p, "B", -200_000, -200_000 - df)
+    pairs = plan_dual(p)
+    dual = DualFused(pairs)
+    sa, sb = MemorySink(), MemorySink()
+    dual.run([[sa], [sb]])
+    a = sa.data[:, 0]
+    b = sb.data[:, 0]
+    out_rate = 1_000_000 / 100
+    k = np.arange(len(a))
+    expected = np.exp(2j * np.pi * df * k / out_rate)
+    # drop the FIR start-up transient, compare phase trajectories
+    pa = np.angle(a[16:] / expected[16:])
+    pb = np.angle(b[16:] / expected[16:])
+    assert np.ptp(pa) < 1e-3, "A rotation is not the closed form"
+    assert np.ptp(pb) < 1e-3, "B rotation is not the closed form"
+    assert np.abs(np.angle(np.exp(1j * (pa.mean() - pb.mean())))) < 1e-3, \
+        "A/B timebases differ"
+
+
+def test_run_measurement_dual_writes_both_groups(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p = UsrpParams()
+    _fe(p, "A", 100_000, 100_000)
+    _fe(p, "B", -70_000, -70_000)
+    fn = run_measurement(p, filename="dual_meas")
+    da = Ufiles.openH5file(fn, front_end="A_RX2")
+    db = Ufiles.openH5file(fn, front_end="B_RX2")
+    assert da.shape == (1, 4_000) and db.shape == (1, 4_000)
+    assert np.allclose(np.abs(da[0, 16:]), 0.5, atol=2e-3)
+    assert np.allclose(np.abs(db[0, 16:]), 0.5, atol=2e-3)
