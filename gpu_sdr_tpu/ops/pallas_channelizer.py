@@ -271,14 +271,20 @@ def channelizer_frames(cfg: PFBConfig, window: jax.Array, dft, spare: C,
 # transposed (free for the synthesis bench; one XLA pass for replay).
 
 
+_HALO_T = 8   # Mosaic sublane granularity: halo frames padded to 8
+
+
 def _kernel_t(avg: int, bt: int, n1: int, n2: int, F1: np.ndarray,
               ar_ref, ai_ref, lr_ref, li_ref, wr_ref,
               grh_ref, grl_ref, gih_ref, gil_ref, gsh_ref, gsl_ref,
               or_ref, oi_ref):
-    """One (n1, bt, n2) tile of frame spectra, transposed-scrambled."""
+    """One (n1, bt, n2) tile of frame spectra, transposed-scrambled.
+    The halo tile carries _HALO_T frames with the real avg-1 LAST."""
     lead = avg - 1
-    ext_r = jnp.concatenate([lr_ref[:], ar_ref[:]], axis=1)
-    ext_i = jnp.concatenate([li_ref[:], ai_ref[:]], axis=1)
+    ext_r = jnp.concatenate([lr_ref[:, _HALO_T - lead:, :], ar_ref[:]],
+                            axis=1)
+    ext_i = jnp.concatenate([li_ref[:, _HALO_T - lead:, :], ai_ref[:]],
+                            axis=1)
     w = wr_ref[:]                                  # (n1, avg, n2)
     pre_r = ext_r[:, lead:, :] * w[:, lead:lead + 1, :]
     pre_i = ext_i[:, lead:, :] * w[:, lead:lead + 1, :]
@@ -314,10 +320,32 @@ def transpose_block(x: C, nfft: int, n1: int, n2: int) -> C:
              x.im.reshape(T, n1, n2).transpose(1, 0, 2))
 
 
+def natural_frames_t(frames_t: C) -> C:
+    """Un-scramble transposed frames to natural bin order: (n1, T, n2)
+    -> (T, nfft).  A pure transpose — bin k = k2*n1 + k1 sits at
+    [k1, t, k2], so natural order is transpose(1, 2, 0) flattened."""
+    T = frames_t.shape[1]
+    return C(frames_t.re.transpose(1, 2, 0).reshape(T, -1),
+             frames_t.im.transpose(1, 2, 0).reshape(T, -1))
+
+
 def select_tones_t(frames_t: C, bins, n1: int, n2: int) -> C:
-    """Gather bins from transposed-scrambled frames: (n1, T, n2) ->
-    (T, n_tones); bin k sits at [k % n1, :, k // n1]."""
+    """Select bins from transposed-scrambled frames: (n1, T, n2) ->
+    (T, n_tones); bin k sits at [k % n1, :, k // n1].
+
+    When the bins are ALL nfft bins in consecutive (mod nfft) order —
+    the full-band comb / full-spectrum case — selection is a dense
+    transpose + lane roll instead of a 1000-point gather."""
+    nfft = n1 * n2
     b = np.asarray(bins, dtype=np.int64)
+    if len(b) == nfft and np.array_equal((b - b[0]) % nfft,
+                                         np.arange(nfft)):
+        nat = natural_frames_t(frames_t)
+        s = int(b[0]) % nfft
+        if s == 0:
+            return nat
+        return C(jnp.roll(nat.re, -s, axis=1),
+                 jnp.roll(nat.im, -s, axis=1))
     k1 = jnp.asarray((b % n1).astype(np.int32))
     k2 = jnp.asarray((b // n1).astype(np.int32))
     return C(frames_t.re[k1, :, k2].T, frames_t.im[k1, :, k2].T)
@@ -345,16 +373,35 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
     assert spare_t.shape == (n1, lead, n2)
     if bt is None:
         bt = _pick_bt(nframes, nfft)
+        while bt % 8 and bt > 1:      # bt rides the sublane axis here
+            bt = max((d for d in range(1, bt) if nframes % d == 0
+                      and d % 8 == 0), default=0)
+    assert bt and bt % 8 == 0 and nframes % bt == 0, (bt, nframes)
     nr = nframes // bt
 
-    # leading halo frames per tile along the middle axis
-    idx = (np.arange(1, nr)[:, None] * bt - lead +
-           np.arange(lead)[None, :]).reshape(-1)
-    idx_arr = jnp.asarray(idx.astype(np.int32))
-    lr = jnp.concatenate([spare_t.re, jnp.take(x_t.re, idx_arr, axis=1)],
-                         axis=1)
-    li = jnp.concatenate([spare_t.im, jnp.take(x_t.im, idx_arr, axis=1)],
-                         axis=1)
+    # leading halo frames per tile along the middle axis, padded to
+    # _HALO_T frames per tile (Mosaic sublane granularity), real frames
+    # LAST.  Built from `lead` strided slices (x_t[:, bt-lead+j::bt])
+    # interleaved — a 3D-axis-1 jnp.take here trips an mlir
+    # lowering-cache KeyError in this jax version, and strided slices
+    # are cheaper anyway.
+    assert lead <= _HALO_T <= bt
+    dt = x_t.re.dtype
+
+    def halos(xcomp, spcomp):
+        pad0 = jnp.zeros((n1, _HALO_T - lead, n2), dt)
+        pieces = [jnp.concatenate([pad0, spcomp], axis=1)]
+        if nr > 1:
+            cols = [xcomp[:, bt - lead + j:(nr - 1) * bt:bt, :]
+                    for j in range(lead)]
+            inter = jnp.stack(cols, axis=2)       # (n1, nr-1, lead, n2)
+            zer = jnp.zeros((n1, nr - 1, _HALO_T - lead, n2), dt)
+            inter = jnp.concatenate([zer, inter], axis=2)
+            pieces.append(inter.reshape(n1, (nr - 1) * _HALO_T, n2))
+        return jnp.concatenate(pieces, axis=1)
+
+    lr = halos(x_t.re, spare_t.re)
+    li = halos(x_t.im, spare_t.im)
 
     # window in kernel layout: (n1, avg, n2); W[i] row for chunk a
     W_t = jnp.asarray(window).reshape(avg, n1, n2).transpose(1, 0, 2)
@@ -369,8 +416,8 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
         in_specs=[
             pl.BlockSpec((n1, bt, n2), lambda r: (0, r, 0)),    # a re
             pl.BlockSpec((n1, bt, n2), lambda r: (0, r, 0)),    # a im
-            pl.BlockSpec((n1, lead, n2), lambda r: (0, r, 0)),  # halo re
-            pl.BlockSpec((n1, lead, n2), lambda r: (0, r, 0)),  # halo im
+            pl.BlockSpec((n1, _HALO_T, n2), lambda r: (0, r, 0)),  # halo
+            pl.BlockSpec((n1, _HALO_T, n2), lambda r: (0, r, 0)),
             pl.BlockSpec((n1, avg, n2), const3),                # window
         ] + [pl.BlockSpec((n1, n2, n2), const3)] * 6,           # stage-2 G
         out_specs=(

@@ -1,0 +1,110 @@
+"""Mesh-dispatched device-resident replay.
+
+The single-chip DeviceReplay (engine/replay.py) uploads a recording once
+and scans the demodulator over HBM-resident blocks.  This is its
+multi-chip form: the recording is uploaded ONCE with the blocks' time
+axis already sharded over the mesh (block b, shard t holds samples
+[b*L + t*Lt, b*L + (t+1)*Lt)), and each execution scans K blocks through
+the SHARDED demodulator (parallel/sharded*.py) — the per-block input is
+a cheap device-local slice of the resident recording, and the overlap-
+save halos ride the demodulator's own ppermute ring exactly as in the
+host-fed sharded path (no new collectives).
+
+Reference analog: replay is this framework's --sw_loop
+(cpp/USRP_hardware_manager.cpp:1331-1395); the reference has no
+multi-device form at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import cplx
+from ..ops.cplx import C
+from ..params import AntennaParams
+from ..engine.demodulator import make_demodulator
+from ..engine.pipeline import PipelineResult
+from .fused_sharded import _to_np_global
+
+
+@dataclasses.dataclass
+class ShardedDeviceReplay:
+    """Compiled K-blocks-per-execution sharded demodulation of a
+    mesh-resident recording."""
+
+    rx: AntennaParams
+    data: np.ndarray                  # complex64 recording (host side)
+    mesh: Mesh
+    blocks_per_exec: int = 8
+    loop: bool = True
+
+    def __post_init__(self):
+        mesh = self.mesh
+        self.demod = make_demodulator(self.rx, mesh=mesh)
+        L = self.demod.plan.block_len
+        n = len(self.data)
+        nblk = max(1, -(-n // L))
+        if self.loop:
+            assert n % L == 0, \
+                "looped sharded replay needs len(recording) % block == 0"
+        # one trailing all-zero block serves post-recording reads (non-loop)
+        buf = np.zeros((nblk + 1) * L, dtype=np.complex64)
+        buf[:n] = np.asarray(self.data, dtype=np.complex64)[:n]
+        time_ax = "time" if "time" in mesh.axis_names else None
+        sh = NamedSharding(mesh, P(None, time_ax))
+        xc = cplx.from_np(buf.reshape(nblk + 1, L))
+        self._X = C(jax.device_put(xc.re, sh), jax.device_put(xc.im, sh))
+        self.n_rec_blocks = nblk
+        K = self.blocks_per_exec
+        demod_step = self.demod.step
+        X = self._X
+        loop = self.loop
+
+        def body(carry, _):
+            state, idx = carry
+            x = C(jax.lax.dynamic_slice(X.re, (idx, 0), (1, L))[0],
+                  jax.lax.dynamic_slice(X.im, (idx, 0), (1, L))[0])
+            state, y = demod_step(state, x)
+            nxt = idx + 1
+            if loop:
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+            else:
+                nxt = jnp.minimum(nxt, nblk)    # stick at the zero block
+            return (state, nxt), y
+
+        @jax.jit
+        def multi(state, idx):
+            (state, idx), ys = jax.lax.scan(body, (state, idx), None,
+                                            length=K)
+            return state, idx, ys
+
+        self._multi = multi
+
+    def run(self, sinks=(), usrp_number: int = 0,
+            front_end: str = "A") -> PipelineResult:
+        """Demodulate the acquisition (rx.samples) into the sinks; on a
+        multi-host mesh each host's sinks receive the gathered global
+        stream."""
+        from ..engine.pipeline import run_chunked
+        plan = self.demod.plan
+        K = self.blocks_per_exec
+        n_exec = max(1, -(-plan.n_blocks // K))
+
+        def init():
+            return (self.demod.init_state(), jnp.int32(0))
+
+        def step(carry):
+            st, idx = carry
+            st, idx, ys = self._multi(st, idx)
+            return (st, idx), ys
+
+        return run_chunked(step, init, n_exec, plan.n_blocks,
+                           plan.block_len, self.demod.n_channels,
+                           plan.total_out_rows, sinks,
+                           usrp_number=usrp_number, front_end=front_end,
+                           to_np=_to_np_global)

@@ -120,3 +120,57 @@ def test_plotting_outputs(tmp_chdir):
     assert os.path.exists(out3)
     out4 = Uplot.diagnostic_VNA_noise(nf, fn, output_filename="diag_fig")
     assert os.path.exists(out4)
+
+
+def test_plotting_html_backend(tmp_chdir):
+    """The interactive backend writes self-contained HTML with the trace
+    data embedded (reference plotly parity: plot_VNA
+    pyUSRP/USRP_VNA.py:807-1100); unknown backends raise."""
+    rate = int(1e6)
+    fn = Uvna.Single_VNA(start_f=-100_000, last_f=100_000, measure_t=0.05,
+                         n_points=100, tx_gain=0, Rate=rate, RF=0,
+                         output_filename="vna_plot_h")
+    Uvna.VNA_analysis(fn)
+    out = Uplot.plot_VNA(fn, backend="plotly", output_filename="vna_h")
+    assert out.endswith(".html") and os.path.exists(out)
+    body = open(out).read()
+    assert "<svg" in body or "svg" in body
+    assert "S21 Magnitude" in body
+    nf = Unoise.Get_noise([10_000], measure_t=0.2, rate=rate, RF=0,
+                          decimation=100, mode="DIRECT",
+                          output_filename="noise_plot_h")
+    Unoise.calculate_noise(nf, welch=2)
+    out2 = Uplot.plot_noise_spec(nf, backend="html",
+                                 output_filename="noise_h")
+    assert os.path.exists(out2) and "PSD" in open(out2).read()
+    out3 = Uplot.plot_raw_data(nf, backend="plotly",
+                               output_filename="raw_h")
+    assert os.path.exists(out3)
+    out4 = Uplot.diagnostic_VNA_noise(nf, fn, backend="plotly",
+                                      output_filename="diag_h")
+    assert os.path.exists(out4)
+    with pytest.raises(ValueError, match="backend"):
+        Uplot.plot_VNA(fn, backend="gnuplot")
+
+
+def test_plot_resonators_html(tmp_chdir):
+    """Fit resonators (simulated channel) then render the interactive
+    resonator grid."""
+    from gpu_sdr_tpu.client import fitting as Ufit
+    from gpu_sdr_tpu.engine.channel import make_resonator_channel
+    rate = int(1e6)
+    chan = make_resonator_channel(
+        rate, [dict(f0=-150_000.0, Qr=30.0, Qe_re=60.0)],
+        fft_len=1 << 12)
+    fn = Uvna.Single_VNA(start_f=-400_000, last_f=400_000, measure_t=0.2,
+                         n_points=800, tx_gain=0, Rate=rate, RF=0,
+                         output_filename="vna_reso_h", channel=chan)
+    Uvna.VNA_analysis(fn)
+    assert Ufit.initialize_peaks(fn, N_peaks=1, peak_width=50e3,
+                                 Qr_cutoff=5, Mag_depth_cutoff=0.5,
+                                 exclude_center=False)
+    assert Ufit.vna_fit(fn, fit_range=60e3)
+    out = Uplot.plot_resonators(fn, backend="plotly",
+                                output_filename="reso_h")
+    assert out.endswith(".html") and os.path.exists(out)
+    assert "reso 0" in open(out).read()

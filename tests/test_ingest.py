@@ -84,20 +84,26 @@ def test_hostfeed_overlaps_feed_and_compute():
                  feed_depth=0)
     t_comp = time.perf_counter() - t0
 
-    # pace each block at ~ the measured compute time per block so feed and
-    # compute are comparable -> serial would be ~2x the pipelined wall
-    pace = max(0.02, t_comp / n_blocks)
-    src = PacedSource(data, pace)
-    sink = MemorySink()
-    t0 = time.perf_counter()
-    run_pipeline(make_demodulator(rx), src, [sink], feed_depth=2)
-    wall = time.perf_counter() - t0
-
-    assert src.feed_time > 0
-    serial = src.feed_time + t_comp
-    assert wall < 0.9 * serial, \
-        (f"no overlap: wall={wall:.3f}s vs feed={src.feed_time:.3f}s + "
-         f"compute={t_comp:.3f}s")
+    # pace each block at ~2x the measured compute time per block so the
+    # feed clearly dominates: pipelined wall ~ feed time alone, serial
+    # ~ 1.5x that.  Timing under load flakes, so take the best of two
+    # attempts before judging.
+    pace = max(0.05, 2.0 * t_comp / n_blocks)
+    best_ratio = np.inf
+    for _ in range(2):
+        src = PacedSource(data, pace)
+        sink = MemorySink()
+        t0 = time.perf_counter()
+        run_pipeline(make_demodulator(rx), src, [sink], feed_depth=2)
+        wall = time.perf_counter() - t0
+        assert src.feed_time > 0
+        serial = src.feed_time + t_comp
+        best_ratio = min(best_ratio, wall / serial)
+        if best_ratio < 0.9:
+            break
+    assert best_ratio < 0.9, \
+        (f"no overlap: wall/serial={best_ratio:.2f} "
+         f"(feed={src.feed_time:.3f}s, compute={t_comp:.3f}s)")
     # and the output is still right
     np.testing.assert_allclose(np.abs(sink.data[8:, 0]), 0.3, atol=2e-3)
 

@@ -49,3 +49,6 @@ def test_two_process_sharded_chain_matches_golden():
         # phase 2: dual-channel config-5 measurement through the public
         # API over the two-process mesh, global stream gathered per host
         assert '"config5_ok": true' in out, out[-2000:]
+        # phase 3: sharded TONES / NOISE-decim / CHIRP families, golden-
+        # checked shard-by-shard on both hosts
+        assert '"phase3_ok": true' in out, out[-2000:]

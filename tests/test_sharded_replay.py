@@ -1,0 +1,146 @@
+"""Mesh-dispatched replay (parallel/sharded_replay.py): a recording
+uploaded once, time-sharded over the virtual 8-device mesh, demodulated
+by the sharded chains — output parity vs the single-device paths for
+every demod mode, loop-seam correctness, and the run_measurement(mesh=)
+dispatch."""
+
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu import golden
+from gpu_sdr_tpu.client import files as Ufiles
+from gpu_sdr_tpu.engine import make_demodulator, run_pipeline
+from gpu_sdr_tpu.engine.replay import DeviceReplay
+from gpu_sdr_tpu.engine.sinks import MemorySink
+from gpu_sdr_tpu.engine.sources import ArraySource
+from gpu_sdr_tpu.measure import run_measurement
+from gpu_sdr_tpu.parallel import make_mesh
+from gpu_sdr_tpu.parallel.sharded_replay import ShardedDeviceReplay
+from gpu_sdr_tpu.params import AntennaParams, AntMode, UsrpParams, WaveType
+
+RNG = np.random.default_rng(77)
+
+
+def _comb(n, rate, freqs, ampls):
+    t = np.arange(n)
+    x = sum(a * np.exp(2j * np.pi * f * t / rate)
+            for f, a in zip(freqs, ampls))
+    return x.astype(np.complex64)
+
+
+def _single_host_output(rx, rec):
+    demod = make_demodulator(rx)
+    sink = MemorySink()
+    run_pipeline(demod, ArraySource(rec), [sink])
+    return sink.data
+
+
+def _sharded_replay_output(rx, rec, mesh, loop=False):
+    sr = ShardedDeviceReplay(rx, rec, mesh, loop=loop)
+    sink = MemorySink()
+    sr.run([sink])
+    return sink.data
+
+
+def _snr(ref, got):
+    n = min(len(ref), len(got))
+    return golden.snr_db(ref[:n], got[:n])
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_replay_direct_matches_host(mesh_shape):
+    rate = 1_000_000
+    freqs = [100_000, -200_000, 50_000, -350_000]
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, decim=100,
+                      pf_average=4, buffer_len=100_000, samples=400_000,
+                      freq=freqs, wave_type=[WaveType.DIRECT] * 4)
+    rec = _comb(400_000, rate, freqs, [0.4, 0.25, 0.2, 0.1]) + \
+        0.01 * RNG.standard_normal(400_000).astype(np.complex64)
+    mesh = make_mesh(mesh_shape, ("time", "channels"))
+    ref = _single_host_output(rx, rec)
+    got = _sharded_replay_output(rx, rec, mesh)
+    assert _snr(ref, got) > 80
+
+
+def test_sharded_replay_tones_matches_host():
+    rate = 1_024_000
+    nfft = 64
+    bin_hz = rate // nfft
+    freqs = [5 * bin_hz, -10 * bin_hz]
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, fft_tones=nfft,
+                      pf_average=4, buffer_len=64_000, samples=256_000,
+                      freq=freqs, wave_type=[WaveType.TONES] * 2)
+    rec = _comb(256_000, rate, freqs, [0.5, 0.25])
+    mesh = make_mesh((2, 4), ("time", "channels"))
+    ref = _single_host_output(rx, rec)
+    got = _sharded_replay_output(rx, rec, mesh)
+    assert _snr(ref, got) > 80
+
+
+def test_sharded_replay_noise_matches_host():
+    rate = 1_024_000
+    nfft = 64
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, fft_tones=nfft,
+                      pf_average=4, buffer_len=64_000, samples=256_000,
+                      freq=[0], wave_type=[WaveType.NOISE])
+    rec = (RNG.standard_normal(256_000) +
+           1j * RNG.standard_normal(256_000)).astype(np.complex64)
+    mesh = make_mesh((2, 4), ("time", "channels"))
+    ref = _single_host_output(rx, rec)
+    got = _sharded_replay_output(rx, rec, mesh)
+    assert got.shape[1] == nfft
+    assert _snr(ref, got) > 80
+
+
+def test_sharded_replay_chirp_matches_host():
+    rate = 1_000_000
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, decim=1,
+                      buffer_len=100_000, samples=400_000,
+                      freq=[-300_000], chirp_f=[300_000], chirp_t=[0.1],
+                      swipe_s=[1000], wave_type=[WaveType.CHIRP])
+    rec = (RNG.standard_normal(400_000) +
+           1j * RNG.standard_normal(400_000)).astype(np.complex64)
+    mesh = make_mesh((4, 2), ("time", "channels"))
+    ref = _single_host_output(rx, rec)
+    got = _sharded_replay_output(rx, rec, mesh)
+    assert _snr(ref, got) > 80
+
+
+def test_sharded_replay_loop_seam_matches_device_replay():
+    """Looping a short recording: the sharded replay's wraparound must
+    match the single-chip DeviceReplay block for block."""
+    rate = 1_000_000
+    freqs = [50_000, -150_000]
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, decim=100,
+                      pf_average=4, buffer_len=100_000, samples=500_000,
+                      freq=freqs, wave_type=[WaveType.DIRECT] * 2)
+    mesh = make_mesh((4, 2), ("time", "channels"))
+    blk = ShardedDeviceReplay(rx, np.zeros(100_000, np.complex64),
+                              mesh, loop=True).demod.plan.block_len
+    rec = _comb(2 * blk, rate, freqs, [0.5, 0.3])  # 2 blocks, loop
+    dr = DeviceReplay(rx, rec, loop=True)
+    s1 = MemorySink()
+    dr.run([s1])
+    got = _sharded_replay_output(rx, rec, mesh, loop=True)
+    assert _snr(s1.data, got) > 80
+    assert len(got) == len(s1.data)
+
+
+def test_run_measurement_mesh_replay_dispatch(tmp_path, monkeypatch):
+    """run_measurement(source=recording, mesh=...) takes the sharded
+    replay path and writes the reference H5 layout."""
+    monkeypatch.chdir(tmp_path)
+    rate = 1_000_000
+    freqs = [100_000]
+    p = UsrpParams()
+    p.A_RX2 = AntennaParams(mode=AntMode.RX, rate=rate, decim=100,
+                            pf_average=4, buffer_len=100_000,
+                            samples=400_000, freq=freqs,
+                            wave_type=[WaveType.DIRECT])
+    rec = _comb(400_000, rate, freqs, [0.4])
+    mesh = make_mesh((8, 1), ("time", "channels"))
+    fn = run_measurement(p, filename="mesh_replay",
+                         source=ArraySource(rec), mesh=mesh)
+    data = Ufiles.openH5file(fn)
+    assert data.shape == (1, 4_000)
+    assert np.allclose(np.abs(data[0, 16:]), 0.4, atol=2e-3)

@@ -129,7 +129,102 @@ def main():
                       "config5_rows": int(data.shape[0]),
                       "config5_channels": int(data.shape[1]),
                       "config5_ok": amp_ok}), flush=True)
-    sys.exit(0 if (ok and amp_ok) else 1)
+
+    # phase 3: every remaining sharded mode family across the two
+    # processes, each checked SHARD-BY-SHARD against the float64 oracle
+    # (outputs span both processes, so only addressable shards are
+    # compared locally): TONES (sharded PFB + owner-local select), NOISE
+    # with frame averaging, and the CHIRP lock-in
+    from gpu_sdr_tpu.ops import pfb as pfb_ops
+    from gpu_sdr_tpu.parallel.sharded_pfb import ShardedPFB
+    from gpu_sdr_tpu.parallel.sharded_chirp import ShardedChirpLockin
+
+    rng = np.random.default_rng(7)
+    results = {}
+
+    def worst_shard_ratio(y_c, want, worst):
+        """want: complex ref rows aligned with y's global rows (NaN rows
+        are transient and skipped)."""
+        for comp, w in ((y_c.re, want.real), (y_c.im, want.imag)):
+            for shard in comp.addressable_shards:
+                g = np.asarray(shard.data)
+                ww = w[shard.index]
+                m = np.isfinite(ww)
+                if not m.any():
+                    continue
+                num = float(np.sum((g[m] - ww[m].astype(np.float32)) ** 2))
+                den = float(np.sum(ww[m] ** 2)) or 1.0
+                worst = max(worst, num / den)
+        return worst
+
+    def to_db(worst):
+        return round(-10.0 * np.log10(worst), 1) if worst else 999.0
+
+    # --- TONES: sharded PFB + owner-local tone select ---
+    nfft, avg = 64, 4
+    Lp = nfft * 32
+    ft = Lp // nfft
+    bins = (5, 17, 40)
+    pcfg = pfb_ops.PFBConfig(nfft=nfft, avg=avg, rate=rate)
+    sp = ShardedPFB(pcfg, mesh, Lp, bins=bins)
+    xs = [(rng.standard_normal(Lp) + 1j * rng.standard_normal(Lp)
+           ).astype(np.complex64) for _ in range(2)]
+    ref_frames = golden.pfb_frames(np.concatenate(xs), nfft, avg)
+    ref_sel = golden.tone_select(ref_frames, list(bins))
+    skip = avg - 1                    # zero-primed halo transient
+    ref_rows = np.full((2 * ft, len(bins)), complex(np.nan, np.nan), np.complex128)
+    ref_rows[skip:skip + len(ref_sel)] = ref_sel[:2 * ft - skip]
+    carry = sp.init_state()
+    worst = 0.0
+    for b_i, b in enumerate(xs):
+        carry, sel = sp.step(carry, sp.shard_input(b))
+        worst = worst_shard_ratio(sel, ref_rows[b_i * ft:(b_i + 1) * ft],
+                                  worst)
+    results["tones_snr_db"] = to_db(worst)
+
+    # --- NOISE: full spectrum with frame averaging (decim=4) ---
+    dec = 4
+    sp2 = ShardedPFB(pcfg, mesh, Lp)
+    # reference for averaged groups; groups containing transient rows are
+    # NaN-masked
+    mark = np.full((2 * ft, nfft), complex(np.nan, np.nan), np.complex128)
+    mark[skip:skip + len(ref_frames)] = ref_frames[:2 * ft - skip]
+    ref_avg = mark.reshape(2 * ft // dec, dec, nfft).mean(axis=1)
+    carry2 = sp2.init_state()
+    worst = 0.0
+    for b_i, b in enumerate(xs):
+        carry2, fr = sp2.step(carry2, sp2.shard_input(b))
+        fr = pfb_ops.average_frames(fr, dec)
+        g = ft // dec
+        worst = worst_shard_ratio(fr, ref_avg[b_i * g:(b_i + 1) * g],
+                                  worst)
+    results["noise_decim_snr_db"] = to_db(worst)
+
+    # --- CHIRP: sharded lock-in ---
+    from gpu_sdr_tpu.ops.chirp import ChirpConfig
+    cp = golden.ChirpParameter(-300_000, 300_000, rate, 1000, 0.1)
+    ccfg = ChirpConfig.from_params(-300_000, 300_000, rate, 1000, 0.1)
+    ppt = cp.length                   # decim = 1
+    Lc = 80_000
+    nseg = Lc // ppt
+    sc = ShardedChirpLockin(ccfg, mesh, Lc, ppt)
+    xc = [(rng.standard_normal(Lc) + 1j * rng.standard_normal(Lc)
+           ).astype(np.complex64) for _ in range(2)]
+    z = golden.chirp_demod(cp, 0, np.concatenate(xc))
+    gd = golden.GoldenVNADecimator(ppt)
+    ref_c = gd(z)
+    last = sc.init_state()
+    worst = 0.0
+    for b_i, b in enumerate(xc):
+        last, y = sc.step(last, sc.shard_input(b))
+        worst = worst_shard_ratio(
+            y, ref_c[b_i * nseg:(b_i + 1) * nseg], worst)
+    results["chirp_snr_db"] = to_db(worst)
+
+    phase3_ok = all(v > 80.0 for v in results.values())
+    results.update({"process": args.process_id, "phase3_ok": phase3_ok})
+    print(json.dumps(results), flush=True)
+    sys.exit(0 if (ok and amp_ok and phase3_ok) else 1)
 
 
 if __name__ == "__main__":
