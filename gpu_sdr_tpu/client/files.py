@@ -136,6 +136,11 @@ def params_to_h5(h5fp, params: UsrpParams, trigger=None, **tags) -> List[str]:
         if p.mode == AntMode.RX:
             rx_names.append(name)
             n_chan = p.n_channels()
+            w0 = p.wave_type[0] if p.wave_type else None
+            if w0 is not None and any(w != w0 for w in p.wave_type):
+                # mixed-mode antenna: `data` carries the FIRST group's
+                # channels; the others get mixed_<k> datasets (H5Sink)
+                n_chan = sum(1 for w in p.wave_type if w == w0)
             data_len = 0 if trigger is not None else expected_data_len(p)
             g.create_dataset("data", (n_chan, data_len), dtype=np.complex64,
                              maxshape=(None, None), chunks=True)
@@ -185,10 +190,13 @@ def get_tx_info(filename: str, ant: Optional[str] = None) -> AntennaParams:
 def openH5file(filename: str, ch_list=None, start_sample=None,
                last_sample=None, usrp_number: int = 0,
                front_end: Optional[str] = None, error_coord: bool = False,
-               big_file: bool = False):
+               big_file: bool = False, dataset: str = "data"):
     """Read raw demodulated data: returns data[channel][sample]
     (reference openH5file, pyUSRP/USRP_files.py:116-336; implements the
-    "new mode" resizable-dataset layout this framework writes)."""
+    "new mode" resizable-dataset layout this framework writes).
+
+    `dataset` selects a mixed-mode sub-stream ("mixed_<k>"; see
+    mixed_streams)."""
     f = bound_open(filename)
     group = f[f"raw_data{int(usrp_number)}"]
     recv = get_receivers(group)
@@ -224,21 +232,39 @@ def openH5file(filename: str, ch_list=None, start_sample=None,
             return data, np.asarray(err_index)
         return data
 
-    n_chan = sub["data"].shape[0]
+    n_chan = sub[dataset].shape[0]
     if ch_list is None:
         ch_list = list(range(n_chan))
     s0 = int(start_sample or 0)
-    s1 = int(last_sample) if last_sample is not None else sub["data"].shape[1]
+    s1 = int(last_sample) if last_sample is not None \
+        else sub[dataset].shape[1]
     if big_file:
         if error_coord:
-            return f, sub["data"], sub["errors"][:]
-        return f, sub["data"]
-    data = sub["data"][ch_list, s0:s1]
+            return f, sub[dataset], sub["errors"][:]
+        return f, sub[dataset]
+    data = sub[dataset][ch_list, s0:s1]
     errors = sub["errors"][:] if error_coord else None
     f.close()
     if error_coord:
         return data, errors
     return data
+
+
+def mixed_streams(filename: str, usrp_number: int = 0,
+                  front_end: Optional[str] = None):
+    """List a mixed-mode antenna's sub-streams: [(dataset_name, attrs)]
+    starting with ("data", {}).  Mixed modes exceed the reference (it
+    rejects them, cpp/USRP_demodulator.cpp:36-39)."""
+    with bound_open(filename) as f:
+        group = f[f"raw_data{int(usrp_number)}"]
+        sub = group[front_end if front_end is not None
+                    else get_receivers(group)[0]]
+        out = [("data", {})]
+        k = 1
+        while f"mixed_{k}" in sub:
+            out.append((f"mixed_{k}", dict(sub[f"mixed_{k}"].attrs)))
+            k += 1
+        return out
 
 
 # ----------------------------------------------------------------------
@@ -254,10 +280,14 @@ class H5Sink(Sink):
     """
 
     def __init__(self, filename: str, params: UsrpParams,
-                 ant_name: Optional[str] = None, trigger=None, **tags):
+                 ant_name: Optional[str] = None, trigger=None,
+                 dataset: str = "data",
+                 sub_params: Optional[AntennaParams] = None,
+                 channel_index=None, **tags):
         self.filename = format_filename(filename)
         self.params = params
         self.trigger = trigger
+        self.dataset = dataset
         if ant_name is None:
             rx = [n for n, _ in params.active_antennas(AntMode.RX)]
             ant_name = rx[0] if rx else "A_RX2"
@@ -268,11 +298,29 @@ class H5Sink(Sink):
             self._rx_names = params_to_h5(self._fp, params, trigger=trigger,
                                           **tags)
         self._group = self._fp[grp_name][ant_name]
+        if dataset != "data" and dataset not in self._group:
+            # secondary sub-stream of a mixed-mode antenna: its own
+            # resizable dataset annotated with its wave type + original
+            # channel positions (mixed modes exceed the reference, which
+            # rejects them — cpp/USRP_demodulator.cpp:36-39)
+            assert sub_params is not None
+            n_ch = len(sub_params.wave_type)
+            exp = expected_data_len(sub_params)
+            ds = self._group.create_dataset(
+                dataset, (n_ch, exp), dtype=np.complex64,
+                maxshape=(None, None), chunks=True)
+            ds.attrs["wave_type"] = [w.value for w in sub_params.wave_type]
+            if channel_index is not None:
+                ds.attrs["channel_index"] = list(map(int, channel_index))
+            ds.attrs["decim"] = int(sub_params.decim)
+            ds.attrs["fft_tones"] = int(sub_params.fft_tones)
+            ds.attrs["freq"] = list(map(float, sub_params.freq or []))
         self._written = 0
         # cap at the acquisition's expected length: the engine processes
         # whole blocks (static shapes), but the measurement contract is
         # `samples` raw samples (reference stops the UHD stream there)
-        p = params.antenna(ant_name)
+        p = sub_params if sub_params is not None \
+            else params.antenna(ant_name)
         self._cap = None if trigger is not None else expected_data_len(p)
 
     def on_packet(self, meta: PacketMeta, data: np.ndarray) -> None:
@@ -288,7 +336,7 @@ class H5Sink(Sink):
                 return
             data = out[:  (len(out) // meta.channels) * meta.channels
                        ].reshape(-1, meta.channels)
-        ds = self._group["data"]
+        ds = self._group[self.dataset]
         if data.shape[1] != ds.shape[0]:
             # NOISE full-spectrum mode: the file schema has
             # n_chan = len(wave_type) (usually 1) and the spectra stream is

@@ -305,18 +305,157 @@ def _build_noise_sharded(p: AntennaParams, plan: BlockPlan,
                        wave_type=WaveType.NOISE)
 
 
+@dataclasses.dataclass
+class MixedGroup:
+    """One homogeneous sub-stream of a mixed-mode antenna."""
+
+    wave_type: WaveType
+    channel_idx: Tuple[int, ...]    # original positions in p.freq
+    demod: Demodulator              # shares the common block geometry
+    params: AntennaParams           # the homogeneous sub-antenna
+
+
+@dataclasses.dataclass
+class MixedDemodulator:
+    """Parallel demodulators over the same block — one per wave type.
+
+    The reference REJECTS mixed wave types on one antenna
+    (cpp/USRP_demodulator.cpp:36-39); here each homogeneous group runs
+    its own demodulator inside ONE jitted step on a common
+    lcm-commensurate block, so e.g. TONES readout and a CHIRP sweep share
+    one RX stream.  ``step(states, x) -> (states, tuple_of_outputs)``;
+    output g has the group's own (rows_g, C_g) geometry.  H5 layout:
+    group 0 writes the standard `data` dataset, group k>0 a
+    `mixed_<k>` dataset with wave_type/channel_index attrs
+    (client/files.H5Sink, openH5file(dataset=...)).
+    """
+
+    plan: BlockPlan                 # common geometry (stride = lcm)
+    groups: Tuple[MixedGroup, ...]
+    init_state: Callable[[], Any]
+    step: Callable[[Any, C], Tuple[Any, Tuple[C, ...]]]
+    wave_type: WaveType = WaveType.NODSP
+
+    @property
+    def n_channels(self) -> int:
+        return sum(g.demod.n_channels for g in self.groups)
+
+
+def _build_for(p: AntennaParams, plan: BlockPlan, w: WaveType):
+    if w == WaveType.DIRECT:
+        return _build_direct(p, plan)
+    if w == WaveType.TONES:
+        return _build_pfb(p, plan, full_spectrum=False)
+    if w == WaveType.NOISE:
+        return _build_pfb(p, plan, full_spectrum=True)
+    if w == WaveType.CHIRP:
+        return _build_chirp(p, plan)
+    if w == WaveType.NODSP:
+        return _build_nodsp(p, plan)
+    raise NotImplementedError(f"demodulation for {w} not implemented")
+
+
+def _build_mixed(p: AntennaParams, samples) -> MixedDemodulator:
+    """Partition the channel list by wave type and run every group's
+    demodulator on the same block inside one jitted step."""
+    import math
+
+    from .planner import (_commensurate, mode_stride)
+    order: list[WaveType] = []
+    members: dict[WaveType, list[int]] = {}
+    for i, w in enumerate(p.wave_type):
+        if w not in members:
+            members[w] = []
+            order.append(w)
+        members[w].append(i)
+
+    n_all = len(p.wave_type)
+
+    def _sub(lst, idx):
+        """Subset a parallel per-channel list; lists shorter than the
+        channel count (e.g. one chirp_f for the single CHIRP channel) are
+        taken in listed order."""
+        if not lst:
+            return []
+        if len(lst) == n_all:
+            return [lst[i] for i in idx]
+        return list(lst[:len(idx)])
+
+    subs = []
+    for w in order:
+        idx = members[w]
+        sub = dataclasses.replace(
+            p,
+            freq=_sub(p.freq, idx),
+            wave_type=[w] * len(idx),
+            ampl=_sub(p.ampl, idx),
+            chirp_f=_sub(p.chirp_f, idx) if w == WaveType.CHIRP
+            else list(p.chirp_f or []),
+            chirp_t=_sub(p.chirp_t, idx) if w == WaveType.CHIRP
+            else list(p.chirp_t or []),
+            swipe_s=_sub(p.swipe_s, idx) if w == WaveType.CHIRP
+            else list(p.swipe_s or []))
+        if w == WaveType.CHIRP and len(idx) > 1:
+            raise NotImplementedError(
+                "Multiple chirp demodulation not implemented "
+                "(matches reference)")
+        subs.append((w, tuple(idx), sub))
+
+    # common block: the lcm of every group's stride, near buffer_len
+    q = 1
+    for _w, _idx, sub in subs:
+        q = math.lcm(q, mode_stride(sub))
+    from ..params import DEFAULT_BUFFER_LEN
+    block = _commensurate(p.buffer_len or DEFAULT_BUFFER_LEN, q)
+    total = int(samples if samples is not None else p.samples)
+    if total <= 0:
+        total = block
+    n_blocks = max(1, math.ceil(total / block))
+
+    groups = []
+    for w, idx, sub in subs:
+        sg = mode_stride(sub)
+        gplan = BlockPlan(block_len=block, stride=sg,
+                         out_rows=block // sg, n_blocks=n_blocks,
+                         total_samples=n_blocks * block)
+        groups.append(MixedGroup(wave_type=w, channel_idx=idx,
+                                 demod=_build_for(sub, gplan, w),
+                                 params=sub))
+
+    def init_state():
+        return tuple(g.demod.init_state() for g in groups)
+
+    @jax.jit
+    def step(states, x):
+        new_states, outs = [], []
+        for g, st in zip(groups, states):
+            st, y = g.demod.step(st, x)
+            new_states.append(st)
+            outs.append(y)
+        return tuple(new_states), tuple(outs)
+
+    plan = BlockPlan(block_len=block, stride=q, out_rows=block // q,
+                     n_blocks=n_blocks, total_samples=n_blocks * block)
+    return MixedDemodulator(plan=plan, groups=tuple(groups),
+                            init_state=init_state, step=step)
+
+
 def make_demodulator(p: AntennaParams, samples: int | None = None,
                      mesh=None) -> Demodulator:
     """Build the streaming demodulator for one RX antenna (the factory
     switch of the reference ctor, cpp/USRP_demodulator.cpp:56-326).
 
     With `mesh` (a jax.sharding.Mesh with 'time'/'channels' axes), DIRECT
-    and NOISE modes run multi-chip with ICI halo exchange."""
+    and NOISE modes run multi-chip with ICI halo exchange.  Mixed wave
+    types on one antenna run parallel per-type demodulators over the same
+    block (a capability the reference rejects,
+    cpp/USRP_demodulator.cpp:36-39) — single-device only."""
     w = p.wave_type[0] if p.wave_type else WaveType.NODSP
     if any(x != w for x in p.wave_type):
-        raise NotImplementedError(
-            "Mixed RX buffer demodulation is not implemented "
-            "(matches reference, cpp/USRP_demodulator.cpp:36-39)")
+        if mesh is not None:
+            raise NotImplementedError(
+                "mixed wave types are single-device only")
+        return _build_mixed(p, samples)
     plan = plan_blocks(p, samples)
     if mesh is not None:
         if w == WaveType.DIRECT:

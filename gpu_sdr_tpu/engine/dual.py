@@ -128,6 +128,9 @@ def plan_dual(params, mesh=None) -> Optional[List[Tuple[str, AntennaParams,
     pairs = []
     plan0 = None
     for rx_name, rx in rxs:
+        if rx.wave_type and any(w != rx.wave_type[0]
+                                for w in rx.wave_type):
+            return None              # mixed-mode antennas run unfused
         tx_name = _pair_tx(params, rx_name)
         tx = params.antenna(tx_name) if tx_name else None
         if tx is None or not can_fuse(tx, rx) or rx.delay > tx.delay:

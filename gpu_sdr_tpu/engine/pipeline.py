@@ -88,6 +88,72 @@ def run_chunked(step, init_state, n_exec: int, n_blocks: int,
                           samples_in=pkt * block_len)
 
 
+def run_pipeline_mixed(mdemod, source: Source,
+                       sinks_per_group: Sequence[Sequence[Sink]],
+                       n_blocks: Optional[int] = None, usrp_number: int = 0,
+                       front_end: str = "A",
+                       feed_depth: int = 2) -> PipelineResult:
+    """Stream blocks through a MixedDemodulator: every block feeds all
+    wave-type groups in one jitted step; group g's packets drain to
+    sinks_per_group[g] (mixed wave types exceed the reference, which
+    rejects them — cpp/USRP_demodulator.cpp:36-39)."""
+    plan = mdemod.plan
+    nb = n_blocks if n_blocks is not None else plan.n_blocks
+    for g, sinks in zip(mdemod.groups, sinks_per_group):
+        for s in sinks:
+            s.on_start(g.demod.n_channels, g.demod.plan.total_out_rows)
+
+    if feed_depth > 0:
+        from .ingest import HostFeed
+        stream = HostFeed(source, depth=feed_depth).device_blocks(
+            plan.block_len, nb)
+    else:
+        take_errors = getattr(source, "take_errors", lambda: 0)
+        stream = ((cplx.from_np(b), int(take_errors()))
+                  for b in source.blocks(plan.block_len, nb))
+
+    state = mdemod.init_state()
+    inflight = collections.deque()
+    pkt = 0
+    rows_total = 0
+    t0 = time.perf_counter()
+
+    def drain_one():
+        nonlocal pkt, rows_total
+        ys, errs = inflight.popleft()
+        for g, y, sinks in zip(mdemod.groups, ys, sinks_per_group):
+            data = cplx.to_np(y)
+            meta = PacketMeta(
+                usrp_number=usrp_number, front_end_code=front_end,
+                packet_number=pkt, length=int(data.size),
+                errors=errs, channels=int(data.shape[1]))
+            for s in sinks:
+                s.on_packet(meta, data)
+            rows_total += data.shape[0]
+        pkt += 1
+
+    try:
+        for x, errs in stream:
+            state, ys = mdemod.step(state, x)
+            inflight.append((ys, errs))
+            if len(inflight) > 2:
+                drain_one()
+        while inflight:
+            drain_one()
+    finally:
+        elapsed = time.perf_counter() - t0
+        try:
+            while inflight:
+                drain_one()
+        finally:
+            for sinks in sinks_per_group:
+                for s in sinks:
+                    s.on_end()
+    return PipelineResult(n_blocks=pkt, rows=rows_total,
+                          channels=mdemod.n_channels, elapsed_s=elapsed,
+                          samples_in=pkt * plan.block_len)
+
+
 def run_pipeline(demod: Demodulator, source: Source,
                  sinks: Sequence[Sink] = (), n_blocks: Optional[int] = None,
                  usrp_number: int = 0, front_end: str = "A",

@@ -73,6 +73,13 @@ class ChannelSource(Source):
             emitted += 1
 
 
+def _is_mixed(rx) -> bool:
+    """Antenna with more than one wave type (parallel demodulators; the
+    reference rejects this, cpp/USRP_demodulator.cpp:36-39)."""
+    return bool(rx.wave_type) and any(w != rx.wave_type[0]
+                                      for w in rx.wave_type)
+
+
 def _pair_tx(params: UsrpParams, rx_name: str) -> Optional[str]:
     """Find the TX antenna driving a given RX (same front end letter,
     mirroring the reference's A_TXRX->A_RX2 pairing)."""
@@ -143,7 +150,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
     for rx_name, rx in params.active_antennas(AntMode.RX):
         # Fast path: ideal loopback with no channel model fuses the whole
         # TX->demod chain on-device, scan-chained (engine/fused.py)
-        if source is None and channel is None and mesh is None:
+        if source is None and channel is None and mesh is None and \
+                not _is_mixed(rx):
             from .engine.fused import FusedLoopback, can_fuse
             tx_name = _pair_tx(params, rx_name)
             tx = params.antenna(tx_name) if tx_name else None
@@ -162,7 +170,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                 continue
         # Sharded fast path: the same fused chain as ONE SPMD program over
         # the mesh (parallel/fused_sharded.py)
-        if source is None and channel is None and mesh is not None:
+        if source is None and channel is None and mesh is not None and \
+                not _is_mixed(rx):
             from .parallel.fused_sharded import (
                 can_fuse_sharded, make_sharded_fused, plan_sharded_block)
             tx_name = _pair_tx(params, rx_name)
@@ -187,7 +196,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
         # Mesh-dispatched replay: the recording is uploaded once, time-
         # sharded over the mesh, and scanned through the SHARDED
         # demodulator (parallel/sharded_replay.py)
-        if source is not None and channel is None and mesh is not None:
+        if source is not None and channel is None and mesh is not None \
+                and not _is_mixed(rx):
             from .engine.replay import can_device_replay
             from .parallel.sharded_replay import ShardedDeviceReplay
             if can_device_replay(source):
@@ -210,7 +220,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
         # Device-resident replay: a recording that fits HBM is uploaded
         # once and demodulated scan-chained (engine/replay.py) instead of
         # feeding every block over the host link
-        if source is not None and channel is None and mesh is None:
+        if source is not None and channel is None and mesh is None and \
+                not _is_mixed(rx):
             from .engine.replay import DeviceReplay, can_device_replay
             if can_device_replay(source):
                 from .engine.planner import plan_blocks
@@ -245,6 +256,27 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                     skip_samples=skip)
             else:
                 src = WhiteNoiseSource()
+        if _is_mixed(rx):
+            # parallel per-type demodulators over the same stream; group
+            # 0 fills `data`, group k>0 a `mixed_<k>` dataset
+            from .engine.pipeline import run_pipeline_mixed
+            sinks_per_group = []
+            for k, g in enumerate(demod.groups):
+                sinks = list(extra_sinks) if k == 0 else []
+                if filename is not None:
+                    h5 = H5Sink(filename, params, ant_name=rx_name,
+                                trigger=trigger if k == 0 else None,
+                                dataset="data" if k == 0 else f"mixed_{k}",
+                                sub_params=g.params,
+                                channel_index=g.channel_idx, **tags)
+                    sinks.append(h5)
+                    out_name = h5.filename
+                sinks_per_group.append(sinks)
+            res = run_pipeline_mixed(demod, src, sinks_per_group,
+                                     usrp_number=params.usrp_number,
+                                     front_end=rx_name[0])
+            results.append(res)
+            continue
         sinks = list(extra_sinks)
         if filename is not None:
             h5 = H5Sink(filename, params, ant_name=rx_name, trigger=trigger,
