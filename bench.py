@@ -1,7 +1,8 @@
 """Headline benchmark: 1000-tone channelized readout throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Msamples/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Msamples/s/chip", "vs_baseline": N,
+   "tflops_tf32_equiv": N, "hbm_gbps": N}
 
 Baseline: the reference sustains 100 Msps complex input with 1000 PFB
 channels on one GPU in real time (scripts/network_test.py:4-6,
@@ -13,20 +14,29 @@ ingest DMA'd to HBM, no host round-trip):
 
   1000-tone comb synthesis (tones bin-quantized like the reference's PFB
       mode, pyUSRP/USRP_low_level.py:261, so the comb is nfft-periodic and
-      synthesis is a precomputed wavetable — the TPU form of tone_gen's
-      pointer rotation)
-    -> polyphase filter bank (windowed moving sum, replaces polyphase_filter)
-    -> 1000-point two-stage DFT as MXU matmuls (replaces cuFFT)
-    -> 1000-bin tone selection (replaces tone_select)
+      synthesis is ONE wavetable frame broadcast inside the kernel — the
+      TPU form of tone_gen's pointer rotation)
+    -> fused channelizer kernel (ops/pallas_channelizer.py, transposed
+       layout): PFB windowed pre-sum + two-stage DFT with the twiddle
+       folded into per-k1 stage-2 constants, one HBM write of the spectra
+    -> 1000-bin tone selection (dense transpose + lane roll — the comb
+       covers every bin consecutively)
 
-with all streaming state (comb phase accumulators, PFB spare samples)
-carried across blocks.  Complex math is float32 (re, im) pairs throughout
-(this TPU backend has no complex dtype).
+with all streaming state (PFB spare frames) carried across blocks.
+Complex math is float32 (re, im) pairs (no complex dtype on this backend);
+in-kernel dots use the bf16 hi/lo split = tensorfloat32 grade (~100 dB vs
+the float64 oracle in tests).
 
-Note: this rig reaches the chip through a loopback relay whose host<->device
-link runs at ~33 MB/s — three orders of magnitude below a real TPU host link
-— so host-fed ingest is not a meaningful measurement here; the on-device
-chain is the honest per-chip DSP throughput.
+Timing is fetch-synced: this rig's block_until_ready can ack before
+execution completes until a real device->host fetch drains the pipeline
+(see CLAUDE.md / tools/rig_probe.py), which silently inflated the round-1
+numbers by 30-90%.  Geometry (scan 64 x 4M) re-chosen under honest timing
+(tools/perf_honest_sweep.py).
+
+Note: this rig reaches the chip through a loopback relay whose
+host<->device link runs at ~33 MB/s — three orders of magnitude below a
+real TPU host link — so host-fed ingest is not a meaningful measurement
+here; the on-device chain is the honest per-chip DSP throughput.
 """
 
 from __future__ import annotations
@@ -38,8 +48,8 @@ import time
 
 
 def _enable_compile_cache():
-    """Persistent compilation cache: compiles on this rig take minutes, so
-    cache across processes when the backend supports it."""
+    """Persistent compilation cache: compiles on this rig can take minutes,
+    so cache across processes when the backend supports it."""
     try:
         import jax
         cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -51,22 +61,20 @@ def _enable_compile_cache():
         pass
 
 
-def bench_loopback_1000(n_blocks: int = 512,
+def bench_loopback_1000(n_blocks: int = 1024,
                         block_len: int = 4_000_000,
-                        blocks_per_exec: int = 32):
-    """Defaults: lax.scan chains 32 blocks of 4 Msamples per device
-    execution (tools/perf_headline_sweep.py: 32x4M 10381 / 64x4M 10282 /
-    32x8M 7824 Msps).  With reference-faithful bin-quantized tones the
-    comb synthesis is a wavetable constant (see docs/05_performance.md
-    for the full ladder)."""
+                        blocks_per_exec: int = 64):
+    """The fused channelizer chain at the honest-sweep optimum (64 x 4M:
+    10.0 / 128 x 4M: 9.9 / 32 x 4M: 7.6 Gsps measured 2026-08-18)."""
     import numpy as np
     import jax
-    import jax.numpy as jnp
     from gpu_sdr_tpu.ops import cplx
-    from gpu_sdr_tpu.ops.pallas_pfb import pfb_frames_fused
-    from gpu_sdr_tpu.ops.pfb import (PFBConfig, pfb_spare_init,
-                                     select_tones, tone_bins)
-    from gpu_sdr_tpu.ops.tonegen import ToneCombConfig, tone_comb_block
+    from gpu_sdr_tpu.ops.cplx import DFT
+    from gpu_sdr_tpu.ops.pallas_channelizer import (
+        can_fuse_channelizer, channelizer_frames_t, select_tones_t,
+        transpose_block)
+    from gpu_sdr_tpu.ops.pfb import PFBConfig, pfb_spare_init, tone_bins
+    from gpu_sdr_tpu.ops.tonegen import comb_period, tone_comb_wavetable_block
 
     rate = 100_000_000
     # the reference network-stress configuration: a 1000-channel PFB at
@@ -75,59 +83,51 @@ def bench_loopback_1000(n_blocks: int = 512,
     n_tones = 1000
     freqs = tuple(int(k * (rate // nfft))
                   for k in range(-nfft // 2, nfft // 2))
-    bins = tuple(int(b) for b in tone_bins(freqs, rate, nfft))
-    cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate, bins=bins)
+    bins_np = np.asarray(tone_bins(freqs, rate, nfft))
+    cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate,
+                    bins=tuple(int(b) for b in bins_np))
     window = cfg.window()
-    # two-stage Cooley-Tukey, transpose-free scrambled output: the bin
-    # scramble folds into the tone-select gather
-    dft_full = cfg.dft(two_stage=True)
-    class _Scrambled:
-        __call__ = staticmethod(dft_full.scrambled)
-    dft = _Scrambled()
-    bins_arr = jnp.asarray(dft_full.scramble_index(bins))
-
-    from gpu_sdr_tpu.ops.tonegen import (comb_period,
-                                         tone_comb_wavetable_block)
-    period = comb_period(freqs, rate)
-    assert block_len % period == 0, (block_len, period)
-    xconst = tone_comb_wavetable_block(freqs, (1.0 / n_tones,) * n_tones,
-                                       rate, block_len)
+    dft = DFT(nfft, two_stage=True)
+    n1, n2 = dft.split
+    assert can_fuse_channelizer(cfg, dft, block_len)
+    T = block_len // nfft
     K = blocks_per_exec
 
-    def body(spare, _):
-        # Pallas one-pass windowed pre-sum (falls back to the XLA path when
-        # the geometry doesn't tile); bit-identical output, +27% end-to-end
-        spare, frames = pfb_frames_fused(cfg, window, dft, spare, xconst)
-        y = select_tones(frames, bins_arr)
-        return spare, y                     # real per-block outputs
+    # bin-quantized comb => nfft-periodic => ONE wavetable frame,
+    # broadcast inside the kernel (reference pointer-rotation analog)
+    period = comb_period(freqs, rate)
+    assert nfft % period == 0, (nfft, period)
+    frame = tone_comb_wavetable_block(freqs, (1.0 / n_tones,) * n_tones,
+                                      rate, nfft)
+    f_t = transpose_block(frame, nfft, n1, n2)
+
+    def body(spare_t, _):
+        spare_t, fr = channelizer_frames_t(cfg, window, dft, spare_t, f_t,
+                                           nframes=T)
+        return spare_t, select_tones_t(fr, bins_np, n1, n2)
 
     @jax.jit
-    def multi(spare):
-        spare, ys = jax.lax.scan(body, spare, None, length=K)
-        return spare, ys
-
-    import numpy as np_
+    def multi(spare_t):
+        return jax.lax.scan(body, spare_t, None, length=K)
 
     def hard_sync(arr):
-        # this rig's block_until_ready can ack before execution completes
-        # until a real device->host fetch has drained the pipeline
-        # (tools/rig_probe.py); fetch one element to force completion
-        return float(np_.asarray(jax.device_get(arr.re[0, 0, 0])))
+        # block_until_ready alone can ack early through the relay; a real
+        # 4-byte fetch is the only hard sync (tools/rig_probe.py)
+        return float(np.asarray(jax.device_get(arr.re.reshape(-1)[0])))
 
-    spare = pfb_spare_init(cfg)
-    spare, ys = multi(spare)                # compile + warm up
+    s0 = transpose_block(pfb_spare_init(cfg), nfft, n1, n2)
+    s, ys = multi(s0)                       # compile + warm up
     jax.block_until_ready(ys)
     hard_sync(ys)
 
-    # best-of-4 timing rounds: the relay adds run-to-run jitter of a few
-    # percent; the best round is the honest device throughput
     n_exec = max(1, n_blocks // K)
     per_round = max(1, n_exec // 4)
     best = 0.0
     for _ in range(4):
+        s = s0
         t0 = time.perf_counter()
         for _ in range(per_round):
-            spare, ys = multi(spare)
+            s, ys = multi(s)
         jax.block_until_ready(ys)
         hard_sync(ys)
         dt = time.perf_counter() - t0
@@ -141,11 +141,20 @@ def main():
         from gpu_sdr_tpu.config import configure_precision
         configure_precision()
         msps = bench_loopback_1000()
+        # roofline attribution (VERDICT r1 #10): the chain executes the
+        # two-stage DFT's (n1 + n2) complex MACs per sample (8 real flops
+        # each at the tensorfloat32 grade) and moves ~24 B/sample of HBM
+        # traffic (spectra write + select read/write; the raw block never
+        # exists in HBM).  Day ceilings: python tools/rig_probe.py.
+        tflops = msps * 1e6 * (8 + 125) * 8 / 1e12
+        hbm = msps * 1e6 * 24 / 1e9
         print(json.dumps({
             "metric": "1000-tone synth+PFB channelizer chain throughput",
             "value": round(msps, 1),
             "unit": "Msamples/s/chip",
             "vs_baseline": round(msps / 100.0, 3),
+            "tflops_tf32_equiv": round(tflops, 1),
+            "hbm_gbps": round(hbm, 1),
         }))
     except Exception as e:  # pragma: no cover
         print(json.dumps({

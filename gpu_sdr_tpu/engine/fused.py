@@ -39,6 +39,8 @@ class FusedLoopback:
         chain = self._try_tones_direct_chain()
         if chain is None:
             chain = self._try_chirp_chain()
+        if chain is None:
+            chain = self._try_channelizer_chain()
         # the chain replaces TX generation entirely — don't materialize an
         # unused generator (a periodic comb's wavetable constant is ~MBs)
         self.gen = None if chain is not None else make_generator(
@@ -158,6 +160,49 @@ class FusedLoopback:
         scale = float(tx.ampl[0]) if tx.ampl else 1.0
         return _ChirpWavetableChain(cfg, L, ppt, scale)
 
+    def _try_channelizer_chain(self):
+        """TONES->TONES / TONES->NOISE via the fused channelizer kernel
+        (ops/pallas_channelizer.py): PFB pre-sum + two-stage DFT in one
+        HBM pass, with a bin-quantized comb synthesized as ONE wavetable
+        frame broadcast inside the kernel.  This is the headline bench
+        chain (bench.py) running as the production loopback path."""
+        tx, rx = self.tx, self.rx
+        if not (tx.wave_type and tx.wave_type[0] == WaveType.TONES
+                and rx.wave_type
+                and rx.wave_type[0] in (WaveType.TONES, WaveType.NOISE)):
+            return None
+        if tx.burst_on > 0 or int(rx.fft_tones) <= 0:
+            return None
+        from ..config import kernel_dot_precision, use_pallas_pfb
+        if not use_pallas_pfb() or kernel_dot_precision() != "tf32":
+            return None
+        from ..ops import pfb as pfb_ops
+        from ..ops.cplx import DFT
+        from ..ops.pallas_channelizer import can_fuse_channelizer
+        from ..ops.tonegen import comb_period
+        nfft, avg = int(rx.fft_tones), int(rx.pf_average)
+        full_spectrum = rx.wave_type[0] == WaveType.NOISE
+        L = self.demod.plan.block_len
+        freqs = tuple(int(f) for f in tx.freq)
+        if not freqs:
+            return None
+        period = comb_period(freqs, int(tx.rate))
+        if nfft % period != 0:
+            return None        # comb not one-frame-periodic: generic path
+        bins = None if full_spectrum else tuple(
+            int(b) for b in pfb_ops.tone_bins(rx.freq, rx.rate, nfft))
+        cfg = pfb_ops.PFBConfig(nfft=nfft, avg=avg, rate=int(rx.rate),
+                                bins=bins, decim=int(rx.decim))
+        dft = DFT(nfft, two_stage=True)
+        if not can_fuse_channelizer(cfg, dft, L):
+            return None
+        decim = int(rx.decim)
+        if decim > 0 and (L // nfft) % decim != 0:
+            return None
+        ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
+        return _ChannelizerWavetableChain(cfg, dft, freqs, ampls, L,
+                                          full_spectrum, decim)
+
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
         """Stream the full acquisition through the fused chain."""
@@ -175,6 +220,57 @@ class FusedLoopback:
                            plan.block_len, self.demod.n_channels,
                            plan.total_out_rows, sinks,
                            usrp_number=usrp_number, front_end=front_end)
+
+
+class _ChannelizerWavetableChain:
+    """One comb wavetable frame + the fused channelizer kernel
+    (ops/pallas_channelizer.channelizer_frames_t).  Streaming state: the
+    (n1, avg-1, n2) transposed spare-frame carry."""
+
+    def __init__(self, cfg, dft, freqs, ampls, L, full_spectrum, decim):
+        import numpy as np
+        from ..ops import pfb as pfb_ops
+        from ..ops.pallas_channelizer import transpose_block
+        from ..ops.tonegen import tone_comb_wavetable_block
+        self.cfg, self.dft = cfg, dft
+        self.full_spectrum = full_spectrum
+        self.decim = decim
+        self.n1, self.n2 = dft.split
+        nfft = cfg.nfft
+        self.T = L // nfft
+        frame = tone_comb_wavetable_block(freqs, ampls, cfg.rate, nfft)
+        self._f_t = transpose_block(frame, nfft, self.n1, self.n2)
+        self._window = cfg.window()
+        self._bins = (np.arange(nfft) if full_spectrum
+                      else np.asarray(cfg.bins))
+        self._spare0 = transpose_block(pfb_ops.pfb_spare_init(cfg),
+                                       nfft, self.n1, self.n2)
+
+    def init_state(self):
+        return self._spare0
+
+    def multi_step(self, spare_t, K: int):
+        import jax
+        from ..ops import pfb as pfb_ops
+        from ..ops.pallas_channelizer import (channelizer_frames_t,
+                                              select_tones_t)
+        cfg, dft = self.cfg, self.dft
+        n1, n2, T = self.n1, self.n2, self.T
+
+        def body(sp, _):
+            sp, fr = channelizer_frames_t(cfg, self._window, dft, sp,
+                                          self._f_t, nframes=T)
+            y = select_tones_t(fr, self._bins, n1, n2)
+            if self.decim > 0:
+                y = pfb_ops.average_frames(y, self.decim)
+            return sp, y
+
+        spare_t, ys = jax.lax.scan(body, spare_t, None, length=K)
+        rows = ys.re.shape[1]
+        C_ = ys.re.shape[2]
+        from ..ops.cplx import C as _C
+        return spare_t, _C(ys.re.reshape(K * rows, C_),
+                           ys.im.reshape(K * rows, C_))
 
 
 class _ChirpWavetableChain:
@@ -209,26 +305,29 @@ class _ChirpWavetableChain:
 
     def init_state(self):
         import jax.numpy as jnp
-        return (jnp.uint32(0), jnp.int32(0))
+        # the 800 MB-class wavetable rides the chain state so it crosses
+        # the jit boundary as an ARGUMENT (a closure constant would be
+        # inlined into the remote-compile request and crash the relay)
+        return (jnp.uint32(0), jnp.int32(0), self._Xf)
 
     def multi_step(self, state, K: int):
         import jax.numpy as jnp
         from ..ops.cplx import C
         from ..ops.pallas_lockin import pallas_chirp_lockin_at
-        last, idx = state
+        last, idx, Xf = state
         nblk, nseg_pb = self.nblk, self.nseg_pb
 
         def body(carry, _):
             lst, i = carry
             lst, y = pallas_chirp_lockin_at(self.cfg, self.profile, lst,
-                                            self._Xf, i, nseg_pb)
+                                            Xf, i, nseg_pb)
             nxt = i + 1
             nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
             return (lst, nxt), C(y.re[:, None], y.im[:, None])
 
         (last, idx), ys = jax.lax.scan(body, (last, idx), None, length=K)
-        return (last, idx), C(ys.re.reshape(K * nseg_pb, 1),
-                              ys.im.reshape(K * nseg_pb, 1))
+        return (last, idx, Xf), C(ys.re.reshape(K * nseg_pb, 1),
+                                  ys.im.reshape(K * nseg_pb, 1))
 
 
 _FUSABLE = {

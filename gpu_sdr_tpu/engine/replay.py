@@ -64,13 +64,17 @@ class DeviceReplay:
         buf = np.zeros((nblk + 1) * L, dtype=np.complex64)
         buf[:n] = np.asarray(self.data[:nblk * L], dtype=np.complex64)[:n]
         self._X = cplx.from_np(buf)          # one upload, stays in HBM
+        self._Xarg = self._X                 # rides the jit as an ARGUMENT
         self.n_rec_blocks = nblk
         K = self.blocks_per_exec
         demod_step = self.demod.step
-        X = self._X
         loop = self.loop
 
-        def body(carry, _):
+        # the recording is an argument, not a closure constant: closure-
+        # captured device arrays get inlined into the remote-compile
+        # request, which this rig's relay rejects/crashes on for large
+        # recordings (HTTP 413 / broken pipe)
+        def body(X, carry, _):
             state, idx = carry
             x = C(jax.lax.dynamic_slice(X.re, (idx * L,), (L,)),
                   jax.lax.dynamic_slice(X.im, (idx * L,), (L,)))
@@ -82,10 +86,12 @@ class DeviceReplay:
                 nxt = jnp.minimum(nxt, nblk)   # stick at the zero block
             return (state, nxt), y
 
+        import functools
+
         @jax.jit
-        def multi(state, idx):
-            (state, idx), ys = jax.lax.scan(body, (state, idx), None,
-                                            length=K)
+        def multi(state, idx, X):
+            (state, idx), ys = jax.lax.scan(
+                functools.partial(body, X), (state, idx), None, length=K)
             return state, idx, ys
 
         self._multi = multi
@@ -120,13 +126,14 @@ class DeviceReplay:
         nbr, Cp = rk.nbr, cfg.n_channels
 
         @jax.jit
-        def multi(state, idx):
+        def multi(state, idx, X):
             # idx is unused (the kernel state carries it); kept for the
             # scan-path-compatible (state, idx, ys) calling convention
-            state, y = rk.multi_step(state)
+            state, y = rk.multi_step(state, X=X)
             return state, idx, y.reshape(K, nbr, Cp)
 
         self._multi = multi
+        self._Xarg = rk._X
         self._kernel_state_init = rk.init_state
         return rk
 
@@ -179,7 +186,7 @@ class DeviceReplay:
         K = self.blocks_per_exec
 
         @jax.jit
-        def multi(started, idx):
+        def multi(started, idx, Xf):
             def body(carry, _):
                 i, st = carry
                 pre = pallas_presum_at(window2d, Xf, i, st, frames_pb)
@@ -196,6 +203,7 @@ class DeviceReplay:
             return started2, idx2, ys
 
         self._multi = multi
+        self._Xarg = Xf
         self._kernel_state_init = lambda: jnp.int32(0)   # started flag
         return ("pfb", cfg)
 
@@ -232,7 +240,7 @@ class DeviceReplay:
         K = self.blocks_per_exec
 
         @jax.jit
-        def multi(last, idx):
+        def multi(last, idx, Xf):
             def body(carry, _):
                 lst, i = carry
                 lst, y = pallas_chirp_lockin_at(cfg, profile, lst, Xf, i,
@@ -245,6 +253,7 @@ class DeviceReplay:
             return last2, idx2, ys
 
         self._multi = multi
+        self._Xarg = Xf
         self._kernel_state_init = lambda: jnp.uint32(0)
         return ("chirp", cfg)
 
@@ -265,7 +274,7 @@ class DeviceReplay:
 
         def step(carry):
             st, idx = carry
-            st, idx, ys = self._multi(st, idx)
+            st, idx, ys = self._multi(st, idx, self._Xarg)
             return (st, idx), ys
 
         return run_chunked(step, init, n_exec, plan.n_blocks,

@@ -168,6 +168,20 @@ def _pick_bt(nframes: int, nfft: int) -> int:
     return best
 
 
+def _pick_bt_t(nframes: int, nfft: int) -> int:
+    """Tile height for the transposed kernel: bt rides the sublane axis,
+    so it must be a multiple of 8 — or equal to the whole frame count
+    (a block that spans the full array dimension is always legal)."""
+    cap = max(1, (2500 * 1024) // (32 * max(nfft, 1)))
+    best = 0
+    for d in range(1, nframes + 1):
+        if nframes % d == 0 and d <= cap and d % 8 == 0:
+            best = d
+    if best == 0 and nframes <= cap:
+        best = nframes
+    return best
+
+
 def can_fuse_channelizer(cfg: PFBConfig, dft, block_len: int) -> bool:
     """Needs a two-stage split with a small first factor (the stage-1
     unroll is n1^2 scalar terms) and a tileable geometry."""
@@ -179,7 +193,8 @@ def can_fuse_channelizer(cfg: PFBConfig, dft, block_len: int) -> bool:
     if block_len % cfg.nfft != 0:
         return False
     nframes = block_len // cfg.nfft
-    return _pick_bt(nframes, cfg.nfft) > 0 and cfg.avg >= 2
+    return (_pick_bt(nframes, cfg.nfft) > 0 and
+            _pick_bt_t(nframes, cfg.nfft) > 0 and cfg.avg >= 2)
 
 
 def channelizer_frames(cfg: PFBConfig, window: jax.Array, dft, spare: C,
@@ -275,16 +290,24 @@ _HALO_T = 8   # Mosaic sublane granularity: halo frames padded to 8
 
 
 def _kernel_t(avg: int, bt: int, n1: int, n2: int, F1: np.ndarray,
+              const_x: bool,
               ar_ref, ai_ref, lr_ref, li_ref, wr_ref,
               grh_ref, grl_ref, gih_ref, gil_ref, gsh_ref, gsl_ref,
               or_ref, oi_ref):
     """One (n1, bt, n2) tile of frame spectra, transposed-scrambled.
-    The halo tile carries _HALO_T frames with the real avg-1 LAST."""
+    The halo tile carries _HALO_T frames with the real avg-1 LAST.
+    const_x: the raw tile is ONE frame (n1, 1, n2) broadcast across bt —
+    a bin-quantized comb is nfft-periodic, so the block never needs to
+    exist in HBM (the reference's TONES wavetable trick)."""
     lead = avg - 1
-    ext_r = jnp.concatenate([lr_ref[:, _HALO_T - lead:, :], ar_ref[:]],
-                            axis=1)
-    ext_i = jnp.concatenate([li_ref[:, _HALO_T - lead:, :], ai_ref[:]],
-                            axis=1)
+    if const_x:
+        a_r = jnp.broadcast_to(ar_ref[:], (n1, bt, n2))
+        a_i = jnp.broadcast_to(ai_ref[:], (n1, bt, n2))
+    else:
+        a_r = ar_ref[:]
+        a_i = ai_ref[:]
+    ext_r = jnp.concatenate([lr_ref[:, _HALO_T - lead:, :], a_r], axis=1)
+    ext_i = jnp.concatenate([li_ref[:, _HALO_T - lead:, :], a_i], axis=1)
     w = wr_ref[:]                                  # (n1, avg, n2)
     pre_r = ext_r[:, lead:, :] * w[:, lead:lead + 1, :]
     pre_i = ext_i[:, lead:, :] * w[:, lead:lead + 1, :]
@@ -353,7 +376,8 @@ def select_tones_t(frames_t: C, bins, n1: int, n2: int) -> C:
 
 def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
                          spare_t: C, x_t: C, bt: int | None = None,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         nframes: int | None = None):
     """Fused channelizer on transposed blocks.
 
         new_spare_t, frames_t = channelizer_frames_t(cfg, window, dft,
@@ -361,22 +385,26 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
 
     x_t: (n1, T, n2) block (transpose_block); spare_t: (n1, avg-1, n2)
     carried frames; frames_t: (n1, T, n2) transposed-scrambled spectra
-    (select with select_tones_t).  Requires can_fuse_channelizer."""
+    (select with select_tones_t).  Requires can_fuse_channelizer.
+
+    When x_t is a SINGLE frame (n1, 1, n2) and `nframes` is given, the
+    frame is broadcast across the block inside the kernel — an
+    nfft-periodic (bin-quantized) comb never needs its block in HBM
+    (the reference's TONES wavetable trick)."""
     import jax.experimental.pallas as pl
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     nfft, avg = cfg.nfft, cfg.avg
     n1, n2 = dft.split
-    nframes = x_t.shape[1]
+    const_x = x_t.shape[1] == 1 and nframes is not None and nframes > 1
+    nframes = x_t.shape[1] if not const_x else int(nframes)
     lead = avg - 1
     assert spare_t.shape == (n1, lead, n2)
     if bt is None:
-        bt = _pick_bt(nframes, nfft)
-        while bt % 8 and bt > 1:      # bt rides the sublane axis here
-            bt = max((d for d in range(1, bt) if nframes % d == 0
-                      and d % 8 == 0), default=0)
-    assert bt and bt % 8 == 0 and nframes % bt == 0, (bt, nframes)
+        bt = _pick_bt_t(nframes, nfft)
+    assert bt and (bt % 8 == 0 or bt == nframes) and \
+        nframes % bt == 0, (bt, nframes)
     nr = nframes // bt
 
     # leading halo frames per tile along the middle axis, padded to
@@ -400,22 +428,41 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
             pieces.append(inter.reshape(n1, (nr - 1) * _HALO_T, n2))
         return jnp.concatenate(pieces, axis=1)
 
-    lr = halos(x_t.re, spare_t.re)
-    li = halos(x_t.im, spare_t.im)
+    if const_x:
+        fr_r = jnp.broadcast_to(x_t.re, (n1, lead, n2))
+        fr_i = jnp.broadcast_to(x_t.im, (n1, lead, n2))
+
+        def halos_const(frame_b, spcomp):
+            pad0 = jnp.zeros((n1, _HALO_T - lead, n2), dt)
+            pieces = [jnp.concatenate([pad0, spcomp], axis=1)]
+            if nr > 1:
+                blockpad = jnp.concatenate([pad0, frame_b], axis=1)
+                pieces.append(jnp.broadcast_to(
+                    blockpad[:, None], (n1, nr - 1, _HALO_T, n2)
+                ).reshape(n1, (nr - 1) * _HALO_T, n2))
+            return jnp.concatenate(pieces, axis=1)
+
+        lr = halos_const(fr_r, spare_t.re)
+        li = halos_const(fr_i, spare_t.im)
+    else:
+        lr = halos(x_t.re, spare_t.re)
+        li = halos(x_t.im, spare_t.im)
 
     # window in kernel layout: (n1, avg, n2); W[i] row for chunk a
     W_t = jnp.asarray(window).reshape(avg, n1, n2).transpose(1, 0, 2)
 
     g6 = stage2_consts(nfft, n1, n2)
     F1 = stage1_scalars(n1)
-    kernel = functools.partial(_kernel_t, avg, bt, n1, n2, F1)
+    kernel = functools.partial(_kernel_t, avg, bt, n1, n2, F1, const_x)
     const3 = lambda r: (0, 0, 0)
+    a_spec = (pl.BlockSpec((n1, 1, n2), const3) if const_x
+              else pl.BlockSpec((n1, bt, n2), lambda r: (0, r, 0)))
     o_re, o_im = pl.pallas_call(
         kernel,
         grid=(nr,),
         in_specs=[
-            pl.BlockSpec((n1, bt, n2), lambda r: (0, r, 0)),    # a re
-            pl.BlockSpec((n1, bt, n2), lambda r: (0, r, 0)),    # a im
+            a_spec,                                             # a re
+            a_spec,                                             # a im
             pl.BlockSpec((n1, _HALO_T, n2), lambda r: (0, r, 0)),  # halo
             pl.BlockSpec((n1, _HALO_T, n2), lambda r: (0, r, 0)),
             pl.BlockSpec((n1, avg, n2), const3),                # window
@@ -430,6 +477,10 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
         ),
         interpret=interpret,
     )(x_t.re, x_t.im, lr, li, W_t, *g6)
-    new_spare = C(x_t.re[:, nframes - lead:, :],
-                  x_t.im[:, nframes - lead:, :])
+    if const_x:
+        new_spare = C(jnp.broadcast_to(x_t.re, (n1, lead, n2)),
+                      jnp.broadcast_to(x_t.im, (n1, lead, n2)))
+    else:
+        new_spare = C(x_t.re[:, nframes - lead:, :],
+                      x_t.im[:, nframes - lead:, :])
     return new_spare, C(o_re, o_im)

@@ -137,8 +137,13 @@ class ReplayDDC:
         s = np.asarray(self._dstep, dtype=np.int64)[None, :]
         return jnp.asarray(((k * s) % W).astype(np.int32))
 
-    def multi_step(self, state):
-        """One execution: K blocks -> (state', y (K*nbr, C))."""
+    def multi_step(self, state, X: C | None = None):
+        """One execution: K blocks -> (state', y (K*nbr, C)).
+
+        Pass the recording `X` explicitly when calling under an outer
+        jit: a closure-captured device array becomes an inlined constant
+        in the compile request, which this rig's remote-compile relay
+        rejects/crashes on for large recordings."""
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
         idx0, dph, started = state
@@ -196,14 +201,17 @@ class ReplayDDC:
             out_specs=(pl.BlockSpec((R, Cp), lambda r, i, v: (r, 0)),
                        pl.BlockSpec((R, Cp), lambda r, i, v: (r, 0))),
         )
-        y_re, y_im = pl.pallas_call(
+        y_call = pl.pallas_call(
             kernel, grid_spec=gs,
             out_shape=(jax.ShapeDtypeStruct((K * nbr, Cp), jnp.float32),
                        jax.ShapeDtypeStruct((K * nbr, Cp), jnp.float32)),
             interpret=interpret,
-        )(idxs, val, self._X.re, self._X.im, self._X.re, self._X.im,
-          self._hmod.re, self._hmod.im, self._hsum,
-          self._ramp.re, self._ramp.im, drots.re, drots.im)
+        )
+        Xr = self._X if X is None else X
+        y_re, y_im = y_call(
+            idxs, val, Xr.re, Xr.im, Xr.re, Xr.im,
+            self._hmod.re, self._hmod.im, self._hsum,
+            self._ramp.re, self._ramp.im, drots.re, drots.im)
 
         dK = self._offsets(K + 1, Cp)[K]
         new_dph = dph + dK

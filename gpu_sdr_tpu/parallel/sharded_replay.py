@@ -62,10 +62,12 @@ class ShardedDeviceReplay:
         self.n_rec_blocks = nblk
         K = self.blocks_per_exec
         demod_step = self.demod.step
-        X = self._X
         loop = self.loop
 
-        def body(carry, _):
+        # the recording rides the jit as an ARGUMENT (a closure-captured
+        # device array is inlined into the remote-compile request, which
+        # the relay rejects/crashes on for large recordings)
+        def body(X, carry, _):
             state, idx = carry
             x = C(jax.lax.dynamic_slice(X.re, (idx, 0), (1, L))[0],
                   jax.lax.dynamic_slice(X.im, (idx, 0), (1, L))[0])
@@ -77,10 +79,12 @@ class ShardedDeviceReplay:
                 nxt = jnp.minimum(nxt, nblk)    # stick at the zero block
             return (state, nxt), y
 
+        import functools
+
         @jax.jit
-        def multi(state, idx):
-            (state, idx), ys = jax.lax.scan(body, (state, idx), None,
-                                            length=K)
+        def multi(state, idx, X):
+            (state, idx), ys = jax.lax.scan(
+                functools.partial(body, X), (state, idx), None, length=K)
             return state, idx, ys
 
         self._multi = multi
@@ -100,7 +104,7 @@ class ShardedDeviceReplay:
 
         def step(carry):
             st, idx = carry
-            st, idx, ys = self._multi(st, idx)
+            st, idx, ys = self._multi(st, idx, self._X)
             return (st, idx), ys
 
         return run_chunked(step, init, n_exec, plan.n_blocks,

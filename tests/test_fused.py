@@ -127,3 +127,44 @@ def test_fused_chirp_wavetable_chain(monkeypatch):
     fused2.run([sink_s])
     assert sink_k.data.shape == sink_s.data.shape
     assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
+
+
+def test_fused_channelizer_chain_tones_and_noise(monkeypatch):
+    """The fused channelizer kernel chain (bench.py's production form)
+    engages for bin-quantized TONES->TONES / TONES->NOISE loopbacks and
+    matches tone amplitudes / the golden spectra."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate = 1_000_000
+    nfft = 1000
+    bin_hz = rate // nfft
+    freqs = [50 * bin_hz, -200 * bin_hz]
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=100_000,
+                       freq=freqs, ampl=[0.5, 0.25],
+                       wave_type=[WaveType.TONES] * 2)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, fft_tones=nfft,
+                       pf_average=4, buffer_len=100_000, samples=400_000,
+                       freq=freqs, wave_type=[WaveType.TONES] * 2)
+    fl = FusedLoopback(tx, rx)
+    from gpu_sdr_tpu.engine.fused import _ChannelizerWavetableChain
+    sink = MemorySink()
+    fl.run([sink])
+    data = sink.data
+    assert data.shape[1] == 2
+    steady = data[8:]
+    assert np.allclose(np.abs(steady[:, 0]), 0.5, rtol=1e-2)
+    assert np.allclose(np.abs(steady[:, 1]), 0.25, rtol=1e-2)
+
+    # NOISE (full spectrum): tone bins carry the power, natural order
+    rx_n = AntennaParams(mode=AntMode.RX, rate=rate, fft_tones=nfft,
+                         pf_average=4, buffer_len=100_000, samples=200_000,
+                         freq=[0], wave_type=[WaveType.NOISE])
+    fl2 = FusedLoopback(tx, rx_n)
+    sink2 = MemorySink()
+    fl2.run([sink2])
+    spec = sink2.data.reshape(-1, nfft)[8:]
+    from gpu_sdr_tpu import golden
+    b0 = golden.tone_bins(freqs, rate, nfft)
+    mags = np.abs(spec).mean(axis=0)
+    quiet = np.delete(mags, b0)
+    assert mags[b0[0]] > 50 * quiet.mean()
+    assert mags[b0[1]] > 25 * quiet.mean()

@@ -1,0 +1,180 @@
+"""On-chip kernel parity: re-assert, ON THE REAL CHIP, the claims that
+the CPU suite can only check in Pallas interpret mode — each Mosaic
+kernel against the float64 golden oracle and against its XLA
+formulation (VERDICT r1 #9: make the on-chip parity re-checkable).
+
+Run alone (one process per chip):  python -m pytest tests_tpu/ -q
+"""
+
+import numpy as np
+import pytest
+
+from gpu_sdr_tpu import golden
+from gpu_sdr_tpu.config import configure_precision
+
+configure_precision()
+
+RNG = np.random.default_rng(11)
+
+
+def _noise(n):
+    return (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+            ).astype(np.complex64)
+
+
+def test_fused_ddc_kernel_matches_golden_and_xla():
+    """ops/pallas_ddc (fused DDC+FIR, bf16 hi/lo split dots) vs the XLA
+    accumulated-matmul path and the float64 oracle."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import (DirectDDCConfig, ddc_carrier_init,
+                                     ddc_carrier_step, direct_ddc_fir)
+    from gpu_sdr_tpu.ops.pallas_ddc import ddc_fused
+
+    rate, decim, pfa = 1_000_000, 10, 4
+    freqs = (12_345, -67_891, 300_001, -111_111)
+    cfg = DirectDDCConfig(rate=rate, decim=decim, pf_average=pfa,
+                          freqs=freqs, phases=(0,) * 4)
+    L = 80_000
+    hmod = cfg.modulated_taps()
+    ramp = cfg.carrier_ramp(L // cfg.M)
+    stepv = ddc_carrier_step(cfg, L)
+    x = _noise(2 * L)
+
+    outs = {}
+    for name, fn in (("xla", direct_ddc_fir),
+                     ("pallas", lambda *a: ddc_fused(*a,
+                                                     precision="tf32"))):
+        phase = ddc_carrier_init(cfg, L)
+        hist = cplx.zeros((cfg.f - 1) * cfg.M)
+        ys = []
+        for i in range(2):
+            blk = cplx.from_np(x[i * L:(i + 1) * L])
+            phase, hist, y = jax.jit(fn, static_argnums=(3, 4, 5))(
+                hmod, ramp, stepv, cfg.rate, cfg.M, cfg.f, phase, hist,
+                blk)
+            ys.append(cplx.to_np(y))
+        outs[name] = np.concatenate(ys)
+
+    gold = golden.GoldenDirectDemodulator(list(freqs), rate, decim, pfa)
+    ref = gold(x).T
+    n = min(len(ref), len(outs["pallas"]))
+    snr_gold = golden.snr_db(ref[:n], outs["pallas"][:n])
+    snr_xla = golden.snr_db(outs["xla"][:n], outs["pallas"][:n])
+    assert snr_gold > 85, f"kernel vs float64 oracle: {snr_gold:.1f} dB"
+    assert snr_xla > 85, f"kernel vs XLA tf32: {snr_xla:.1f} dB"
+
+
+def test_fused_channelizer_kernel_matches_golden_and_xla():
+    """ops/pallas_channelizer (transposed fused PFB+DFT) vs pfb_frames +
+    scrambled DFT (XLA) and the float64 oracle — the headline chain's
+    kernel."""
+    import jax.numpy as jnp
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.pallas_channelizer import (
+        can_fuse_channelizer, channelizer_frames_t, select_tones_t,
+        transpose_block)
+    from gpu_sdr_tpu.ops.pfb import (PFBConfig, pfb_frames,
+                                     pfb_spare_init, select_tones)
+
+    rate, nfft, avg = 1_000_000, 1000, 4
+    cfg = PFBConfig(nfft=nfft, avg=avg, rate=rate)
+    window = cfg.window()
+    dft = cfg.dft(two_stage=True)
+    n1, n2 = dft.split
+    L = 80 * nfft
+    assert can_fuse_channelizer(cfg, dft, L)
+    x = _noise(2 * L)
+    bins = np.arange(0, nfft, 7)[:128]
+
+    # XLA reference
+    spare = pfb_spare_init(cfg)
+    xs = []
+    for i in range(2):
+        spare, fr = pfb_frames(cfg, window, dft, spare,
+                               cplx.from_np(x[i * L:(i + 1) * L]))
+        xs.append(cplx.to_np(select_tones(
+            fr, jnp.asarray(bins.astype(np.int32)))))
+    ref_xla = np.concatenate(xs)
+
+    # kernel
+    sp_t = transpose_block(pfb_spare_init(cfg), nfft, n1, n2)
+    ks = []
+    for i in range(2):
+        x_t = transpose_block(cplx.from_np(x[i * L:(i + 1) * L]),
+                              nfft, n1, n2)
+        sp_t, fr_t = channelizer_frames_t(cfg, window, dft, sp_t, x_t)
+        ks.append(cplx.to_np(select_tones_t(fr_t, bins, n1, n2)))
+    got = np.concatenate(ks)
+
+    ref_gold = golden.tone_select(
+        golden.pfb_frames(x, nfft, avg), list(bins))
+    skip = avg - 1
+    n = min(len(ref_gold), len(got) - skip)
+    snr_gold = golden.snr_db(ref_gold[:n], got[skip:skip + n])
+    snr_xla = golden.snr_db(ref_xla, got)
+    assert snr_gold > 85, f"kernel vs float64 oracle: {snr_gold:.1f} dB"
+    assert snr_xla > 85, f"kernel vs XLA tf32: {snr_xla:.1f} dB"
+
+
+def test_chirp_lockin_kernel_matches_golden():
+    """ops/pallas_lockin (in-place chirp lock-in over a recording) vs the
+    chirp_demod + flat-window lock-in oracle."""
+    import jax.numpy as jnp
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops import lockin as lockin_ops
+    from gpu_sdr_tpu.ops.chirp import ChirpConfig
+    from gpu_sdr_tpu.ops.pallas_lockin import pallas_chirp_lockin_at
+
+    rate = 1_000_000
+    cp = golden.ChirpParameter(-300_000, 300_000, rate, 1000, 0.1)
+    cfg = ChirpConfig.from_params(-300_000, 300_000, rate, 1000, 0.1)
+    ppt = cp.length
+    L = 80_000
+    nseg_pb = L // ppt
+    x = _noise(2 * L)
+    xc = cplx.from_np(x)
+    Xf = cplx.C(xc.re.reshape(-1, ppt), xc.im.reshape(-1, ppt))
+    profile = jnp.asarray(lockin_ops.lockin_profile(ppt))
+
+    last = jnp.uint32(0)
+    outs = []
+    for i in range(2):
+        last, y = pallas_chirp_lockin_at(cfg, profile, last, Xf,
+                                         jnp.int32(i), nseg_pb)
+        outs.append(np.asarray(y.re) + 1j * np.asarray(y.im))
+    got = np.concatenate(outs)
+
+    z = golden.chirp_demod(cp, 0, x)
+    gd = golden.GoldenVNADecimator(ppt)
+    ref = gd(z)
+    snr = golden.snr_db(ref, got)
+    assert snr > 85, f"lock-in kernel vs oracle: {snr:.1f} dB"
+
+
+def test_presum_kernel_matches_golden():
+    """ops/pallas_pfb (one-pass windowed pre-sum) vs the oracle."""
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.pallas_pfb import pallas_presum
+    from gpu_sdr_tpu.ops.windows import pfb_window
+    import jax.numpy as jnp
+
+    nfft, avg = 1000, 4
+    T = 160
+    x = _noise(T * nfft)
+    xc = cplx.from_np(x)
+    W2 = jnp.asarray(pfb_window(nfft, avg).astype(np.float32)
+                     ).reshape(avg, nfft)
+    spare = cplx.zeros((avg - 1, nfft))
+    pre = pallas_presum(W2, spare, xc.reshape(T, nfft), bt=80,
+                        interpret=False)
+    got = cplx.to_np(pre)
+
+    w = pfb_window(nfft, avg)
+    ext = np.concatenate([np.zeros((avg - 1) * nfft, np.complex64), x])
+    ref = np.stack([
+        sum(ext[(t + i) * nfft:(t + i + 1) * nfft] *
+            w[i * nfft:(i + 1) * nfft] for i in range(avg))
+        for t in range(T)])
+    snr = golden.snr_db(ref, got)
+    assert snr > 100, f"pre-sum kernel vs oracle: {snr:.1f} dB"
