@@ -13,6 +13,39 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+
+
+def _time_replay(dr, label):
+    import jax
+    import jax.numpy as jnp
+    state = (dr._kernel_state_init() if dr._kernel_path is not None
+             else dr.demod.init_state())
+    idx = jnp.int32(0)
+
+    def hard_sync(arr):
+        # fetch-sync: block_until_ready can ack early through the relay
+        return float(np.asarray(jax.device_get(arr.re.reshape(-1)[0])))
+
+    state, idx, ys = dr._multi(state, idx, dr._Xarg)   # compile + warmup
+    jax.block_until_ready(ys)
+    hard_sync(ys)
+    K, L = dr.blocks_per_exec, dr.demod.plan.block_len
+    n_exec = 16
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec):
+            state, idx, ys = dr._multi(state, idx, dr._Xarg)
+        jax.block_until_ready(ys)
+        hard_sync(ys)
+        dt = time.perf_counter() - t0
+        best = max(best, n_exec * K * L / dt / 1e6)
+    print(json.dumps({"variant": label, "Msps_best": round(best, 1),
+                      "kernel_path": dr._kernel_path is not None}),
+          flush=True)
+    return ys
+
+
 def main():
     from gpu_sdr_tpu.config import configure_precision
     configure_precision()
@@ -30,32 +63,10 @@ def main():
                        samples=1_024_000_000, decim=100, pf_average=4,
                        freq=[f0], wave_type=[WaveType.DIRECT])
     dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
-    state = (dr._kernel_state_init() if dr._kernel_path is not None
-             else dr.demod.init_state())
-    print(json.dumps({"kernel_path": dr._kernel_path is not None}),
-          flush=True)
-    import jax.numpy as jnp
-    idx = jnp.int32(0)
-    state, idx, ys = dr._multi(state, idx)      # compile + warmup
-    jax.block_until_ready(ys)
-    K, L = 16, dr.demod.plan.block_len
-    n_exec = 16
-    best = 0.0
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(n_exec):
-            state, idx, ys = dr._multi(state, idx)
-        jax.block_until_ready(ys)
-        dt = time.perf_counter() - t0
-        best = max(best, n_exec * K * L / dt / 1e6)
-    import numpy as np
-    y = np.asarray(ys.re)[-1]
-    print(json.dumps({"variant": "device_replay_config1",
-                      "Msps_best": round(best, 1),
-                      "mean_amp_check": round(float(
-                          np.abs(np.asarray(ys.re)[-1] +
-                                 1j * np.asarray(ys.im)[-1]).mean()), 4)}),
-          flush=True)
+    ys = _time_replay(dr, "device_replay_config1")
+    print(json.dumps({"mean_amp_check": round(float(
+        np.abs(np.asarray(ys.re)[-1] +
+               1j * np.asarray(ys.im)[-1]).mean()), 4)}), flush=True)
 
 
 def main_pfb():
@@ -77,25 +88,7 @@ def main_pfb():
                        samples=1_024_000_000, fft_tones=1000,
                        pf_average=4, wave_type=[WaveType.NOISE])
     dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
-    state = (dr._kernel_state_init() if dr._kernel_path is not None
-             else dr.demod.init_state())
-    print(json.dumps({"pfb_kernel_path": dr._kernel_path is not None}),
-          flush=True)
-    idx = jnp.int32(0)
-    state, idx, ys = dr._multi(state, idx)
-    jax.block_until_ready(ys)
-    K, L = 16, dr.demod.plan.block_len
-    n_exec = 16
-    best = 0.0
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(n_exec):
-            state, idx, ys = dr._multi(state, idx)
-        jax.block_until_ready(ys)
-        dt = time.perf_counter() - t0
-        best = max(best, n_exec * K * L / dt / 1e6)
-    print(json.dumps({"variant": "device_replay_config4_fullspec",
-                      "Msps_best": round(best, 1)}), flush=True)
+    _time_replay(dr, "device_replay_config4_fullspec")
 
 
 def main_chirp():
@@ -118,25 +111,7 @@ def main_chirp():
                        swipe_s=[5000], decim=1,
                        wave_type=[WaveType.CHIRP])
     dr = DeviceReplay(rx, rec, blocks_per_exec=16, loop=True)
-    state = (dr._kernel_state_init() if dr._kernel_path is not None
-             else dr.demod.init_state())
-    print(json.dumps({"chirp_kernel_path": dr._kernel_path is not None}),
-          flush=True)
-    idx = jnp.int32(0)
-    state, idx, ys = dr._multi(state, idx)
-    jax.block_until_ready(ys)
-    K, L = 16, dr.demod.plan.block_len
-    n_exec = 16
-    best = 0.0
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(n_exec):
-            state, idx, ys = dr._multi(state, idx)
-        jax.block_until_ready(ys)
-        dt = time.perf_counter() - t0
-        best = max(best, n_exec * K * L / dt / 1e6)
-    print(json.dumps({"variant": "device_replay_config2_vna",
-                      "Msps_best": round(best, 1)}), flush=True)
+    _time_replay(dr, "device_replay_config2_vna")
 
 
 if __name__ == "__main__":
