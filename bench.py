@@ -31,7 +31,9 @@ Timing is fetch-synced: this rig's block_until_ready can ack before
 execution completes until a real device->host fetch drains the pipeline
 (see CLAUDE.md / tools/rig_probe.py), which silently inflated the round-1
 numbers by 30-90%.  Geometry (scan 64 x 4M) re-chosen under honest timing
-(tools/perf_honest_sweep.py).
+(tools/perf_honest_sweep.py); round size amortizes the ~50 ms
+per-round relay drain (measured convergence 16.0 -> 18.8 -> 19.3 Gsps at
+4k / 16k / 32k blocks).
 
 Note: this rig reaches the chip through a loopback relay whose
 host<->device link runs at ~33 MB/s — three orders of magnitude below a
@@ -61,7 +63,7 @@ def _enable_compile_cache():
         pass
 
 
-def bench_loopback_1000(n_blocks: int = 1024,
+def bench_loopback_1000(n_blocks: int = 32768,
                         block_len: int = 4_000_000,
                         blocks_per_exec: int = 64):
     """The fused channelizer chain at the honest-sweep optimum (64 x 4M:

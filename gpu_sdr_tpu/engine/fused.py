@@ -56,10 +56,19 @@ class FusedLoopback:
             rows = self.demod.plan.out_rows
             Cp = self.demod.n_channels
 
-            @jax.jit
-            def multi(gstate, dstate):
+            def _multi_impl(gstate, dstate):
                 gstate, y = chain.multi_step(gstate, K)
                 return gstate, dstate, y.reshape(K, rows, Cp)
+
+            # donate the chain state on real hardware: the wavetable /
+            # recording it carries then ALIASES through instead of being
+            # copied on return (~16% at config 2's 800 MB chirp period).
+            # Chains whose init_state hands out a resident master array
+            # return a device COPY so a second acquisition still works
+            # after the first call consumed the donated buffer.
+            donate = jax.default_backend() in ("tpu", "axon")
+            multi = jax.jit(_multi_impl,
+                            donate_argnums=(0,) if donate else ())
         else:
             gen_step = self.gen.step
             demod_step = self.demod.step
@@ -262,7 +271,11 @@ class _ReplayLoopbackChain:
         self.rk = rk
 
     def init_state(self):
-        return (self.rk.init_state(), self.rk._X)
+        import jax.numpy as jnp
+        from ..ops.cplx import C
+        # device copy: the master recording must survive donation
+        return (self.rk.init_state(),
+                C(jnp.copy(self.rk._X.re), jnp.copy(self.rk._X.im)))
 
     def multi_step(self, state, K: int):
         st, X = state
@@ -354,10 +367,13 @@ class _ChirpWavetableChain:
 
     def init_state(self):
         import jax.numpy as jnp
+        from ..ops.cplx import C
         # the 800 MB-class wavetable rides the chain state so it crosses
         # the jit boundary as an ARGUMENT (a closure constant would be
-        # inlined into the remote-compile request and crash the relay)
-        return (jnp.uint32(0), jnp.int32(0), self._Xf)
+        # inlined into the remote-compile request and crash the relay);
+        # device-copied so the master survives donation
+        return (jnp.uint32(0), jnp.int32(0),
+                C(jnp.copy(self._Xf.re), jnp.copy(self._Xf.im)))
 
     def multi_step(self, state, K: int):
         import jax.numpy as jnp

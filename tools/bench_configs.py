@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def time_chain(tx, rx, K, target_samples=1_024_000_000):
+def time_chain(tx, rx, K, target_samples=16_384_000_000):
     import jax
     from gpu_sdr_tpu.engine.fused import FusedLoopback
     fl = FusedLoopback(tx, rx, blocks_per_exec=K)
