@@ -98,9 +98,9 @@ class FusedLoopback:
         the (nb, C_t) P factor and writes straight into the stacked
         output.  With few tones the in-kernel synthesis dots degenerate
         (contraction dim C_t) and the stacking copy is negligible, so
-        small periodic combs keep the wavetable path (measured: 1 tone
-        9918 wavetable vs 8032 chain; 100 tones ~2500 scan vs ~7100
-        chain)."""
+        periodic combs now go through the replay kernel first (see
+        _try_replay_loopback); non-periodic combs take this chain
+        (config 3: 7.8 Gsps honest steady-state)."""
         tx, rx = self.tx, self.rx
         if not (tx.wave_type and tx.wave_type[0] == WaveType.TONES
                 and rx.wave_type and rx.wave_type[0] == WaveType.DIRECT):
@@ -125,8 +125,7 @@ class FusedLoopback:
             # serves it — grid-axis K, stacked output written in place,
             # FIR history = the recording rows preceding each tile with
             # the loop-seam wrap matching the comb's periodicity exactly.
-            # Honest-timed at config 1: 7.7 Gsps vs 3.4 for the wavetable
-            # gen+demod scan.
+            # Config 1 honest steady-state: 11.3 Gsps.
             chain = self._try_replay_loopback(freqs, ampls, L)
             if chain is not None:
                 return chain
@@ -168,8 +167,8 @@ class FusedLoopback:
         in-place lock-in kernel.  The integer-phase chirp repeats exactly
         every num_steps*length samples, so one period generated at build
         time (in HBM) serves the whole stream, and each block costs only
-        the demod+lock-in read — measured 13.5 Gsps at the config-2 shape
-        vs 9.6 for the gen+demod scan."""
+        the demod+lock-in read — 15.6 Gsps honest at the config-2 shape
+        with donated state (steady-state rounds, 2026-08-19)."""
         tx, rx = self.tx, self.rx
         if not (tx.wave_type and tx.wave_type[0] == WaveType.CHIRP
                 and rx.wave_type and rx.wave_type[0] == WaveType.CHIRP):

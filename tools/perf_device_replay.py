@@ -30,7 +30,7 @@ def _time_replay(dr, label):
     jax.block_until_ready(ys)
     hard_sync(ys)
     K, L = dr.blocks_per_exec, dr.demod.plan.block_len
-    n_exec = 16
+    n_exec = 128
     best = 0.0
     for _ in range(4):
         t0 = time.perf_counter()
