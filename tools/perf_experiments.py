@@ -6,6 +6,11 @@ Each variant compiles once (slow on this rig's remote-compile path) and is
 then timed device-resident.
 """
 
+# NOTE: this tool predates the fetch-synced timing rule (CLAUDE.md): numbers it
+# printed historically are unreliable (block_until_ready early-ack / short-round
+# deflation). Use bench.py / tools/bench_configs.py / tools/perf_honest_sweep.py
+# or add hard_sync + steady-state rounds before trusting new runs.
+
 import sys
 import time
 

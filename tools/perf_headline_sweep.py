@@ -8,6 +8,11 @@ chain builder.
 Run:  nohup python tools/perf_headline_sweep.py > log 2>&1 &
 """
 
+# NOTE: this tool predates the fetch-synced timing rule (CLAUDE.md): numbers it
+# printed historically are unreliable (block_until_ready early-ack / short-round
+# deflation). Use bench.py / tools/bench_configs.py / tools/perf_honest_sweep.py
+# or add hard_sync + steady-state rounds before trusting new runs.
+
 import json
 import sys
 

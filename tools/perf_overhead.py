@@ -1,6 +1,11 @@
 """Isolate dispatch overhead vs compute: raw matmul rates and the bench
 chain at increasing block sizes."""
 
+# NOTE: this tool predates the fetch-synced timing rule (CLAUDE.md): numbers it
+# printed historically are unreliable (block_until_ready early-ack / short-round
+# deflation). Use bench.py / tools/bench_configs.py / tools/perf_honest_sweep.py
+# or add hard_sync + steady-state rounds before trusting new runs.
+
 import sys
 import time
 

@@ -12,6 +12,11 @@ equivalence against the XLA pre-sum on-chip before paying for the big
 scan compile.
 """
 
+# NOTE: this tool predates the fetch-synced timing rule (CLAUDE.md): numbers it
+# printed historically are unreliable (block_until_ready early-ack / short-round
+# deflation). Use bench.py / tools/bench_configs.py / tools/perf_honest_sweep.py
+# or add hard_sync + steady-state rounds before trusting new runs.
+
 import json
 import sys
 import time

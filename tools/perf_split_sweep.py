@@ -5,6 +5,11 @@ contraction dims near 128 — measure which wins end-to-end.
 Run: nohup python tools/perf_split_sweep.py > log 2>&1 &
 """
 
+# NOTE: this tool predates the fetch-synced timing rule (CLAUDE.md): numbers it
+# printed historically are unreliable (block_until_ready early-ack / short-round
+# deflation). Use bench.py / tools/bench_configs.py / tools/perf_honest_sweep.py
+# or add hard_sync + steady-state rounds before trusting new runs.
+
 import sys
 import time
 
