@@ -5,7 +5,7 @@ RX directly — the reference's --sw_loop), the whole chain can live on the
 device: `lax.scan` chains K TX->demod blocks per execution with all
 streaming state carried through the scan, so nothing touches the host until
 the demodulated results come back.  This is the production form of
-bench.py's 40x-baseline configuration.
+bench.py's headline configuration.
 
 Supported mode pairs: TONES->DIRECT, TONES->TONES (PFB), TONES->NOISE,
 CHIRP->CHIRP (VNA).  Other combinations fall back to the host-driven path
