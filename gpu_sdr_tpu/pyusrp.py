@@ -57,7 +57,8 @@ def Connect(timeout: float = 10.0, host=None, **kwargs) -> bool:
 from .client.files import (H5Sink, bound_open, chk_multi_usrp,  # noqa: F401,E402
                            format_filename, get_init_peaks, get_noise,
                            get_readout_power, get_rx_info, get_tx_info,
-                           get_VNA_data, is_VNA_analyzed, openH5file,
+                           get_VNA_data, is_VNA_analyzed, mixed_streams,
+                           openH5file,
                            params_to_h5 as Param_to_H5,
                            retrieve_params_from_file)
 from .params import AntennaParams, AntMode, UsrpParams, WaveType  # noqa: F401,E402

@@ -174,3 +174,25 @@ def test_plot_resonators_html(tmp_chdir):
                                 output_filename="reso_h")
     assert out.endswith(".html") and os.path.exists(out)
     assert "reso 0" in open(out).read()
+
+
+def test_plot_pfb_and_timestream_html(tmp_chdir):
+    """HTML backend for the waterfall plots (embedded data-URI heatmap +
+    interactive axes)."""
+    rate = int(1_024_000)
+    fn = Ufs.Get_full_spec([5 * rate // 64], channels=64, measure_t=0.1,
+                           rate=rate, RF=0, output_filename="fs_html")
+    out = Uplot.plot_pfb(fn, backend="plotly", output_filename="pfb_h")
+    assert out.endswith(".html") and os.path.exists(out)
+    assert "data:image/png;base64" in open(out).read()
+
+    from gpu_sdr_tpu.client import vna as Uvna2
+    fn2 = Uvna2.Single_VNA(start_f=-100_000, last_f=100_000,
+                           measure_t=0.05, n_points=100, tx_gain=0,
+                           Rate=int(1e6), RF=0, iterations=3,
+                           output_filename="vna_ts_h")
+    Uvna2.VNA_timestream_analysis(fn2)
+    out2 = Uplot.VNA_timestream_plot(fn2, backend="html",
+                                     output_filename="vnats_h")
+    assert os.path.exists(out2)
+    assert "data:image/png;base64" in open(out2).read()
