@@ -63,11 +63,13 @@ def _enable_compile_cache():
         pass
 
 
-def bench_loopback_1000(n_blocks: int = 32768,
-                        block_len: int = 4_000_000,
-                        blocks_per_exec: int = 64):
-    """The fused channelizer chain at the honest-sweep optimum (64 x 4M:
-    10.0 / 128 x 4M: 9.9 / 32 x 4M: 7.6 Gsps measured 2026-08-18)."""
+def bench_loopback_1000(n_blocks: int = 16384,
+                        block_len: int = 8_000_000,
+                        blocks_per_exec: int = 32):
+    """The fused channelizer chain at the steady-state sweep optimum
+    (32 x 8M: 25.9 / 64 x 8M: 25.7 / 64 x 4M: 19.4 / 32 x 16M: 13.9 Gsps,
+    equal-work rounds, 2026-08-19; 128 x 8M and 16M+ geometries exhaust
+    HBM via the stacked per-exec output)."""
     import numpy as np
     import jax
     from gpu_sdr_tpu.ops import cplx

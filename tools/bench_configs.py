@@ -101,10 +101,10 @@ def main():
 
     # config 4: full-spectrum 1000-bin channelizer (NOISE mode)
     bins1000 = [int(k * (rate // 1000)) for k in range(-500, 500)]
-    tx4 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
+    tx4 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=6_000_000,
                         freq=bins1000, ampl=[0.001] * 1000,
                         wave_type=[WaveType.TONES] * 1000)
-    rx4 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+    rx4 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=6_000_000,
                         fft_tones=1000, pf_average=4,
                         wave_type=[WaveType.NOISE])
     emit("4_full_spectrum", time_chain(tx4, rx4, K=64))
