@@ -2,22 +2,29 @@
 
 The config-3 production shape (multi-tone comb TX looped into the fused
 DDC+FIR RX — the reference's --sw_loop path with TONES TX and DIRECT RX)
-spends its HBM traffic on the raw block x: the synthesis matmul writes it
-(32 MB/block) and the DDC kernel reads it back.  But x is never needed in
-HBM at all: factorize the comb over the DDC's own (nb, M) tile split
+never needs the raw block x at all.  Round-2's first version synthesized
+x in-VMEM (x_tile = P_tile @ Q) and then ran the f DDC tap dots on the
+synthesized rows; but the synthesis matmul and the tap matmuls CONTRACT
+THROUGH x, so x can be eliminated algebraically:
 
-    x[n*M + m] = sum_c srot_c * P[n, c] * Q[c, m]
-    P[n, c] = exp(2j*pi*(f_c*n*M mod W)/W)       (nb, C_t) constant
-    Q[c, m] = A_c * exp(2j*pi*(f_c*m mod W)/W)   (C_t, M)  constant
-    srot_c  = exp(2j*pi*phase_c/W)               per-block int32 phase
+    y[r, c] = sum_j sum_m x[(r+j)*M + m] * hmod[j*M + m, c]
+    x[n*M + m] = sum_t srot_t * P[n, t] * Q[t, m]
+  =>
+    y[r, c] = sum_j sum_t (srot_t * P[r+j, t]) * G[j, t, c]
+    G[j, t, c] = sum_m Q[t, m] * hmod[j*M + m, c]   -- constant (f, C_t, C')
 
-and each DDC input tile becomes one in-VMEM matmul of the P tile (plus
-its f-1-row halo) against Q.  The kernel then runs the same fused DDC+FIR
-as ops/pallas_ddc.py on the synthesized rows.  Per block the only HBM
-traffic is the P tile read (same bytes as the x read it replaces), the
-carrier ramp, and the (nb, C') output — the synthesis write/read round
-trip is gone, and so is the carried FIR history: the previous block's
-tail rows are re-synthesized from P's last rows with the PREVIOUS block's
+G is computed host-side in float64 (comb factor x modulated taps) and
+shipped pre-split into bf16 hi/lo pairs, so per tile the kernel does only:
+rotate the P rows, split them, and run f Karatsuba dots of
+(R, C_t) x (C_t, C') — the decimation axis M never enters the kernel, the
+synthesized rows are never materialized, and no constant is re-split per
+grid step.  For the 100-tone/decim-100 config this removes ~20% of the
+MXU passes and all of the per-tile VPU split work of the first version
+(measured 7.9 -> see docs/05_performance.md).
+
+Per block the only HBM traffic is the P tile read, the carrier ramp, and
+the (nb, C') output.  There is no carried FIR history: a block's leading
+halo rows are re-synthesized from P's last rows with the PREVIOUS block's
 rotation, so the whole streaming state is three int32 phase vectors.
 
 All dots use the manual bf16 hi/lo split (the tensorfloat32/HIGH product
@@ -40,13 +47,15 @@ import numpy as np
 from . import cplx
 from .cplx import C
 from .ddc import DirectDDCConfig
+from .fir import fir_taps_direct
 from .pallas_ddc import _HALO_PAD, hilo_split as _hilo, \
-    split_dot as _sdot
+    split_dot_presplit as _psdot
 
 
-def _kernel(f: int, M: int, R: int, lead: int, nr: int,
-            pr_ref, pi_ref, lr_ref, li_ref, qr_ref, qi_ref, qs_ref,
-            hr_ref, hi_ref, hs_ref, rr_ref, ri_ref,
+def _kernel(f: int, R: int, lead: int, nr: int,
+            pr_ref, pi_ref, lr_ref, li_ref,
+            grh_ref, grl_ref, gih_ref, gil_ref, gsh_ref, gsl_ref,
+            rr_ref, ri_ref,
             sr_ref, si_ref, vr_ref, vi_ref, qdr_ref, qdi_ref,
             yr_ref, yi_ref):
     """One (R, C') output tile; grid = (K * nr,) — K streamed blocks of nr
@@ -57,11 +66,12 @@ def _kernel(f: int, M: int, R: int, lead: int, nr: int,
     output).
 
     p: P rows [(r%nr)*R ...); l: the lead rows preceding the tile in P
-    (wrapped mod nb, padded to _HALO_PAD, real rows LAST); q*: Q and
-    Q.re+Q.im; h*: modulated taps; rr/ri: carrier ramp tile; sr/si: this
-    block's synthesis rotation row (1, C_t); vr/vi: the halo rotation row
-    for the block's FIRST tile (the previous block's rotation, pre-zeroed
-    ahead of block 0); qdr/qdi: the block's DDC output rotation (1, C').
+    (wrapped mod nb, padded to _HALO_PAD, real rows LAST); g*: the fused
+    synthesis x taps constant G (f, C_t, C') as bf16 hi/lo pairs for
+    re / im / re+im; rr/ri: carrier ramp tile; sr/si: this block's
+    synthesis rotation row (1, C_t); vr/vi: the halo rotation row for the
+    block's FIRST tile (the previous block's rotation, pre-zeroed ahead
+    of block 0); qdr/qdi: the block's DDC output rotation (1, C').
     """
     r0 = pl_program_id_0() % nr
     # per-block rotation rows arrive as (8, C) tiles (each row replicated
@@ -81,29 +91,18 @@ def _kernel(f: int, M: int, R: int, lead: int, nr: int,
     pe_r = jnp.concatenate([halo_r, tr], axis=0)      # (R+lead, C_t)
     pe_i = jnp.concatenate([halo_i, ti], axis=0)
 
-    # synthesize the extended input rows: x_ext = P_ext @ Q (Karatsuba)
+    # fused synthesis+DDC+FIR: f Karatsuba dots against the G constant
     pr_hi, pr_lo = _hilo(pe_r)
     pi_hi, pi_lo = _hilo(pe_i)
     ps_hi, ps_lo = _hilo(pe_r + pe_i)
-    srr = _sdot(pr_hi, pr_lo, qr_ref[:])
-    sii = _sdot(pi_hi, pi_lo, qi_ref[:])
-    sri = _sdot(ps_hi, ps_lo, qs_ref[:])
-    ext_r = srr - sii                                  # (R+lead, M)
-    ext_i = sri - srr - sii
-    ext_s = ext_r + ext_i
-
-    # fused DDC+FIR on the synthesized rows (cf. ops/pallas_ddc._kernel)
-    xr_hi, xr_lo = _hilo(ext_r)
-    xi_hi, xi_lo = _hilo(ext_i)
-    xs_hi, xs_lo = _hilo(ext_s)
     acc_r = acc_i = None
     for j in range(f):
-        rr = _sdot(xr_hi[j:j + R], xr_lo[j:j + R],
-                   hr_ref[j * M:(j + 1) * M, :])
-        ii = _sdot(xi_hi[j:j + R], xi_lo[j:j + R],
-                   hi_ref[j * M:(j + 1) * M, :])
-        ri = _sdot(xs_hi[j:j + R], xs_lo[j:j + R],
-                   hs_ref[j * M:(j + 1) * M, :])
+        rr = _psdot(pr_hi[j:j + R], pr_lo[j:j + R],
+                    grh_ref[j], grl_ref[j])
+        ii = _psdot(pi_hi[j:j + R], pi_lo[j:j + R],
+                    gih_ref[j], gil_ref[j])
+        ri = _psdot(ps_hi[j:j + R], ps_lo[j:j + R],
+                    gsh_ref[j], gsl_ref[j])
         t_r, t_i = rr - ii, ri - rr - ii
         acc_r = t_r if acc_r is None else acc_r + t_r
         acc_i = t_i if acc_i is None else acc_i + t_i
@@ -123,14 +122,16 @@ def pl_program_id_0():
     return pl.program_id(0)
 
 
-def _pick_rows(nb: int, M: int, Ct: int, Cp: int) -> int:
+def _pick_rows(nb: int, Ct: int, Cp: int, f: int) -> int:
     """Tile height: divisor of nb, multiple of 8, VMEM-capped (P tile +
-    splits + synthesized rows + output/ramp, double-buffered)."""
+    splits + output/ramp rows, double-buffered, after the resident G
+    constant)."""
     Ctp = -(-Ct // 128) * 128
-    Mp = -(-M // 128) * 128
     Cpp = -(-Cp // 128) * 128
-    bytes_per_row = 28 * Ctp + 44 * Mp + 32 * Cpp
-    cap = max(8, (8 * 2 ** 20) // max(bytes_per_row, 1))
+    g_bytes = 6 * f * Ctp * Cpp * 2
+    bytes_per_row = 28 * Ctp + 32 * Cpp
+    avail = max(1, 10 * 2 ** 20 - g_bytes)
+    cap = max(8, avail // max(bytes_per_row, 1))
     cands = []
     for d in range(1, int(np.sqrt(nb)) + 1):
         if nb % d == 0:
@@ -170,14 +171,14 @@ class TonesDirectChain:
         self.nb, self.Ct, self.Cp = nb, Ct, Cp
         nbt = nb // self.time_shards if nb % self.time_shards == 0 else 0
         self.R = (self.rows if self.rows is not None
-                  else _pick_rows(nbt, M, Ct, Cp)) if nbt else 0
+                  else _pick_rows(nbt, Ct, Cp, f)) if nbt else 0
         self.lead = f - 1
         self.ok = bool(self.R) and f >= 2 and self.lead <= _HALO_PAD \
             and self.lead <= self.R and nbt and nbt % self.R == 0
         if not self.ok:
             return
-        # P (nb, Ct), Q (Ct, M) from exact integer phases; halo rows of P
-        # (wrapped mod nb) staged per tile, real rows LAST in the pad
+        # P (nb, Ct) from exact integer phases; halo rows of P (wrapped
+        # mod nb) staged per tile, real rows LAST in the pad
         fr = np.asarray(self.tx_freqs, dtype=np.int64) % W
         n = np.arange(nb, dtype=np.int64)
         m = np.arange(M, dtype=np.int64)
@@ -192,10 +193,24 @@ class TonesDirectChain:
         lP = P[idx.reshape(-1) % nb]           # tile 0 wraps to P's tail
         self._P = cplx.const(P.astype(np.complex64))
         self._lP = cplx.const(lP.astype(np.complex64))
-        self._Q = cplx.const(Q.astype(np.complex64))
-        self._Qs = self._Q.re + self._Q.im
-        self._hmod = self.cfg.modulated_taps()
-        self._hsum = self._hmod.re + self._hmod.im
+        # G[j, t, c] = sum_m Q[t, m] * hmod[j*M+m, c] in float64: the
+        # synthesis matmul contracted into the modulated taps host-side
+        if self.cfg.decim > 0:
+            h = fir_taps_direct(self.cfg.decim, self.cfg.pf_average,
+                                dtype=np.float64)
+        else:
+            h = np.ones(1, dtype=np.float64)
+        i = np.arange(f * M, dtype=np.int64)
+        rxfr = np.asarray(self.cfg.freqs, dtype=np.int64)
+        ph_h = (rxfr[None, :] * (i[:, None] % W)) % W
+        hmod = h[:, None] * np.exp(-2j * np.pi * (ph_h / float(W)))
+        G = np.einsum("tm,jmc->jtc", Q,
+                      hmod.reshape(f, M, Cp)).astype(np.complex64)
+        g_re = G.real.astype(np.float32)
+        g_im = G.imag.astype(np.float32)
+        self._G = tuple(jnp.asarray(a) for pair in
+                        (_np_hilo(g_re), _np_hilo(g_im),
+                         _np_hilo(g_re + g_im)) for a in pair)
         self._ramp = self.cfg.carrier_ramp(nb)
         self._sstep = jnp.asarray(((fr * L) % W).astype(np.int32))
         from .ddc import ddc_carrier_step
@@ -251,23 +266,26 @@ class TonesDirectChain:
         state = (new_sph, new_dph, jnp.float32(1.0))
         return state, rep8(srots), rep8(hrots), rep8(drots)
 
-    def invoke(self, P, lP, Q, Qs, hmod, hsum, ramp, srots, hrots,
+    def invoke(self, P, lP, G, ramp, srots, hrots,
                drots, K: int, interpret: bool | None = None):
         """Run the kernel over K blocks of (possibly shard-local)
-        operands; returns y (K * P.shape[0], hmod.shape[1])."""
+        operands; returns y (K * P.shape[0], Cp).  G is the 6-tuple of
+        (f, C_t, C'_local) bf16 arrays (re/im/sum, hi/lo each)."""
         import jax.experimental.pallas as pl
-        M, f, R = self.cfg.M, self.cfg.f, self.R
+        f, R = self.cfg.f, self.R
         nb_loc = P.shape[0]
-        Ct, Cp = P.shape[1], hmod.shape[1]
+        Ct, Cp = P.shape[1], G[0].shape[2]
         nr = nb_loc // R
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
 
-        kernel = functools.partial(_kernel, f, M, R, self.lead, nr)
+        kernel = functools.partial(_kernel, f, R, self.lead, nr)
         out_shape = (jax.ShapeDtypeStruct((K * nb_loc, Cp), jnp.float32),
                      jax.ShapeDtypeStruct((K * nb_loc, Cp), jnp.float32))
         per_blk = lambda r: (r // nr, 0)             # (K*8, C) rotation rows
         in_blk = lambda r: (r % nr, 0)               # per-block-local tiles
+        g_blk = lambda r: (0, 0, 0)                  # resident G constant
+        g_spec = pl.BlockSpec((f, Ct, Cp), g_blk)
         y_re, y_im = pl.pallas_call(
             kernel,
             grid=(K * nr,),
@@ -276,12 +294,9 @@ class TonesDirectChain:
                 pl.BlockSpec((R, Ct), in_blk),               # P im
                 pl.BlockSpec((_HALO_PAD, Ct), in_blk),       # lP re
                 pl.BlockSpec((_HALO_PAD, Ct), in_blk),       # lP im
-                pl.BlockSpec((Ct, M), lambda r: (0, 0)),     # Q re
-                pl.BlockSpec((Ct, M), lambda r: (0, 0)),     # Q im
-                pl.BlockSpec((Ct, M), lambda r: (0, 0)),     # Q sum
-                pl.BlockSpec((f * M, Cp), lambda r: (0, 0)),  # h re
-                pl.BlockSpec((f * M, Cp), lambda r: (0, 0)),  # h im
-                pl.BlockSpec((f * M, Cp), lambda r: (0, 0)),  # h sum
+                g_spec, g_spec,                              # G re hi/lo
+                g_spec, g_spec,                              # G im hi/lo
+                g_spec, g_spec,                              # G sum hi/lo
                 pl.BlockSpec((R, Cp), in_blk),               # ramp re
                 pl.BlockSpec((R, Cp), in_blk),               # ramp im
                 pl.BlockSpec((8, Ct), per_blk),              # srot re
@@ -297,8 +312,8 @@ class TonesDirectChain:
             ),
             out_shape=out_shape,
             interpret=interpret,
-        )(P.re, P.im, lP.re, lP.im, Q.re, Q.im, Qs,
-          hmod.re, hmod.im, hsum, ramp.re, ramp.im,
+        )(P.re, P.im, lP.re, lP.im, *G,
+          ramp.re, ramp.im,
           srots.re, srots.im, hrots.re, hrots.im, drots.re, drots.im)
         return C(y_re, y_im)
 
@@ -310,8 +325,7 @@ class TonesDirectChain:
         loop is a grid axis, not a scan — the kernel writes each tile
         straight into the stacked output (no per-block copy)."""
         state, srots, hrots, drots = self.block_rotations(state, K)
-        y = self.invoke(self._P, self._lP, self._Q, self._Qs,
-                        self._hmod, self._hsum, self._ramp,
+        y = self.invoke(self._P, self._lP, self._G, self._ramp,
                         srots, hrots, drots, K, self.interpret)
         return state, y
 
@@ -319,3 +333,12 @@ class TonesDirectChain:
         """One block: (state', y (nb, Cp))."""
         state, y = self.multi_step(state, 1)
         return state, y
+
+
+def _np_hilo(a: np.ndarray):
+    """Host-side bf16 hi/lo decomposition matching ops.pallas_ddc.hilo_split
+    (hi = bf16(a), lo = bf16(a - hi))."""
+    import ml_dtypes
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo

@@ -62,6 +62,14 @@ def split_dot(a_hi, a_lo, b):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def split_dot_presplit(a_hi, a_lo, b_hi, b_lo):
+    """`split_dot` with the b operand's bf16 hi/lo split precomputed on the
+    host (for constant operands: saves the per-grid-step VPU split)."""
+    d = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _kernel(f: int, M: int, R: int, split: bool, xr_ref, xi_ref, lr_ref,
             li_ref, hr_ref, hi_ref, hs_ref, rr_ref, ri_ref, qr_ref,
             qi_ref, yr_ref, yi_ref):

@@ -423,24 +423,21 @@ class ShardedFusedDirect:
         chain = self.chain
         K = self.blocks_per_exec
 
-        def spmd(Pl, lPl, Q, Qs, hmod, hsum, ramp, srots, hrots, drots):
+        def spmd(Pl, lPl, G, ramp, srots, hrots, drots):
             if has_time:
                 tidx = jax.lax.axis_index("time")
                 hr = C(jnp.where(tidx == 0, hrots.re, srots.re),
                        jnp.where(tidx == 0, hrots.im, srots.im))
             else:
                 hr = hrots
-            y = chain.invoke(Pl, lPl, Q, Qs, hmod, hsum, ramp,
-                             srots, hr, drots, K)
-            return y.reshape(K, Pl.shape[0], hmod.shape[1])
+            y = chain.invoke(Pl, lPl, G, ramp, srots, hr, drots, K)
+            return y.reshape(K, Pl.shape[0], G[0].shape[2])
 
         smapped = shard_map(
             spmd, mesh=mesh,
             in_specs=(_cpair(time_ax),            # P rows
                       _cpair(time_ax),            # lP rows (per-tile halos)
-                      _cpair(None), P(None),      # Q, Qsum (replicated)
-                      _cpair(None, ch_ax),        # taps
-                      P(None, ch_ax),             # taps sum
+                      (P(None, None, ch_ax),) * 6,  # fused G constant
                       _cpair(time_ax, ch_ax),     # ramp
                       _cpair(None),               # srots (replicated)
                       _cpair(None),               # hrots (replicated)
@@ -451,8 +448,7 @@ class ShardedFusedDirect:
         @jax.jit
         def exec_fn(state):
             state, srots, hrots, drots = chain.block_rotations(state, K)
-            ys = smapped(chain._P, chain._lP, chain._Q, chain._Qs,
-                         chain._hmod, chain._hsum, chain._ramp,
+            ys = smapped(chain._P, chain._lP, chain._G, chain._ramp,
                          srots, hrots, drots)
             return state, ys
 

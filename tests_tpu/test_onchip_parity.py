@@ -152,6 +152,41 @@ def test_chirp_lockin_kernel_matches_golden():
     assert snr > 85, f"lock-in kernel vs oracle: {snr:.1f} dB"
 
 
+def test_tones_direct_chain_matches_golden():
+    """ops/pallas_chain (single-kernel G-fused TONES->DIRECT loopback,
+    in-kernel comb synthesis) vs the float64 comb+demod oracle — the
+    config-3 chain, compiled by Mosaic (the CPU suite runs it only in
+    interpret mode)."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectChain
+
+    rate, M, f, L = 1_000_000, 10, 4, 80_000
+    tx_freqs = tuple(int(x) for x in np.linspace(-300_000, 300_000, 20))
+    ampls = tuple(0.05 + 0.01 * (i % 5) for i in range(20))
+    dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=tx_freqs, phases=(0,) * 20)
+    chain = TonesDirectChain(rate=rate, tx_freqs=tx_freqs, tx_ampls=ampls,
+                             cfg=dcfg, block_len=L, interpret=False)
+    assert chain.ok
+    n_blocks = 3
+    state = chain.init_state()
+    step = jax.jit(chain.step)
+    outs = []
+    for _ in range(n_blocks):
+        state, y = step(state)
+        outs.append(cplx.to_np(y).T)
+    got = np.concatenate(outs, axis=1)
+
+    x = golden.tone_block(tx_freqs, ampls, rate, 0, n_blocks * L)
+    gold = golden.GoldenDirectDemodulator(list(tx_freqs), rate, M, f)
+    ref = np.concatenate(
+        [gold(x[i * L:(i + 1) * L]) for i in range(n_blocks)], axis=1)
+    snr = golden.snr_db(ref, got)
+    assert snr > 85, f"chain kernel vs float64 oracle: {snr:.1f} dB"
+
+
 def test_presum_kernel_matches_golden():
     """ops/pallas_pfb (one-pass windowed pre-sum) vs the oracle."""
     from gpu_sdr_tpu.ops import cplx
