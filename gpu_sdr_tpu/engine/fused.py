@@ -146,7 +146,7 @@ class FusedLoopback:
         """Periodic-comb TONES->DIRECT loopback as a looped one-block
         recording through the ReplayDDC kernel."""
         from ..ops.ddc import DirectDDCConfig
-        from ..ops.pallas_replay import ReplayDDC
+        from ..ops.pallas_replay import make_replay_ddc
         from ..ops.tonegen import tone_comb_wavetable_block
         from ..ops import cplx
         rx = self.rx
@@ -157,7 +157,8 @@ class FusedLoopback:
             phases=(0,) * len(rx_freqs))
         rec = cplx.to_np(tone_comb_wavetable_block(freqs, ampls,
                                                    int(self.tx.rate), L))
-        rk = ReplayDDC(cfg, rec, L, blocks_per_exec=self.blocks_per_exec)
+        rk = make_replay_ddc(cfg, rec, L,
+                             blocks_per_exec=self.blocks_per_exec)
         if not rk.ok:
             return None
         return _ReplayLoopbackChain(rk)

@@ -111,14 +111,14 @@ class DeviceReplay:
                 kernel_dot_precision() == "tf32"):
             return None
         from ..ops.ddc import DirectDDCConfig
-        from ..ops.pallas_replay import ReplayDDC
+        from ..ops.pallas_replay import make_replay_ddc
         freqs = tuple(int(f) for f in rx.freq)
         cfg = DirectDDCConfig(
             rate=int(rx.rate), decim=int(rx.decim),
             pf_average=int(rx.pf_average), freqs=freqs,
             phases=(0,) * len(freqs))
-        rk = ReplayDDC(cfg, np.asarray(self.data, np.complex64), L,
-                       blocks_per_exec=self.blocks_per_exec)
+        rk = make_replay_ddc(cfg, np.asarray(self.data, np.complex64), L,
+                             blocks_per_exec=self.blocks_per_exec)
         if not rk.ok:
             return None
         self.n_rec_blocks = rk.nblk

@@ -49,7 +49,7 @@ from .cplx import C
 from .ddc import DirectDDCConfig
 from .fir import fir_taps_direct
 from .pallas_ddc import _HALO_PAD, hilo_split as _hilo, \
-    split_dot_presplit as _psdot
+    np_hilo as _np_hilo, split_dot_presplit as _psdot
 
 
 def _kernel(f: int, R: int, lead: int, nr: int,
@@ -333,12 +333,3 @@ class TonesDirectChain:
         """One block: (state', y (nb, Cp))."""
         state, y = self.multi_step(state, 1)
         return state, y
-
-
-def _np_hilo(a: np.ndarray):
-    """Host-side bf16 hi/lo decomposition matching ops.pallas_ddc.hilo_split
-    (hi = bf16(a), lo = bf16(a - hi))."""
-    import ml_dtypes
-    hi = a.astype(ml_dtypes.bfloat16)
-    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo

@@ -70,6 +70,16 @@ def split_dot_presplit(a_hi, a_lo, b_hi, b_lo):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def np_hilo(a):
+    """Host-side bf16 hi/lo decomposition matching `hilo_split`
+    (hi = bf16(a), lo = bf16(a - hi)) for shipping pre-split constants."""
+    import ml_dtypes
+    hi = np.asarray(a, np.float32).astype(ml_dtypes.bfloat16)
+    lo = (np.asarray(a, np.float32) - hi.astype(np.float32)
+          ).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
 def _kernel(f: int, M: int, R: int, split: bool, xr_ref, xi_ref, lr_ref,
             li_ref, hr_ref, hi_ref, hs_ref, rr_ref, ri_ref, qr_ref,
             qi_ref, yr_ref, yi_ref):

@@ -29,7 +29,8 @@ import numpy as np
 from . import cplx
 from .cplx import C
 from .ddc import DirectDDCConfig
-from .pallas_ddc import _pick_rows, hilo_split, split_dot
+from .pallas_ddc import (_pick_rows, hilo_split, np_hilo, split_dot,
+                         split_dot_presplit)
 
 _HUNIT = 8      # halo block: one 8-row (sublane) unit preceding the tile
 
@@ -218,3 +219,219 @@ class ReplayDDC:
         new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
         new_idx = (idx0 + K) % jnp.int32(self.nblk)
         return (new_idx, new_dph, jnp.int32(1)), C(y_re, y_im)
+
+
+_TLEAD = 128    # baked halo columns preceding each pre-tiled column tile
+
+
+def _kernel_t(f: int, R: int, lead: int, nr: int, CpP: int,
+              idx_ref, val_ref,
+              xr_ref, xi_ref,
+              hrh_ref, hrl_ref, hih_ref, hil_ref, hsh_ref, hsl_ref,
+              yr_ref, yi_ref):
+    """Transposed (few-channel) variant: one (R, CpP) output tile.
+
+    With few channels the row-major kernel pads the output lanes
+    C -> 128 and every tap matmul burns 128/C of the MXU.  Here the tap
+    matrices ride the SUBLANE side instead: each tap contributes a
+    (CpP, M) x (M, R+128) dot — MXU cost scales with ceil(C/8)/8 instead
+    of 1, a 16x pass reduction at C=1.  The input arrives PRE-TILED
+    column-major with the FIR history baked in as _TLEAD halo columns
+    per tile (built once at init; ~8% extra HBM), so the kernel never
+    transposes or concatenates — in-VMEM relayouts are what ate the
+    MXU savings in the first (in-kernel transpose) version of this
+    kernel.  The taps arrive pre-split (bf16 hi/lo x re/im/sum,
+    np_hilo); the carrier ramp and the per-block output rotation move
+    to a cheap XLA post-multiply on the (K*nb, C) output (decimated:
+    ~C/(4*M) of the input bytes), so the kernel carries no per-row
+    constants at all.
+    """
+    pid = pl_program_id_0()
+    r0 = pid % nr
+    v = jnp.where(r0 == 0, val_ref[pid // nr].astype(jnp.float32),
+                  jnp.float32(1.0))
+    # stream start: zero the baked-in (wrapped) history columns
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, R + _TLEAD), 1)
+    m = jnp.where(lane < _TLEAD, v, jnp.float32(1.0))
+    ext_r = xr_ref[0] * m                            # (M, R+_TLEAD)
+    ext_i = xi_ref[0] * m
+    ext_s = ext_r + ext_i
+
+    er_hi, er_lo = hilo_split(ext_r)
+    ei_hi, ei_lo = hilo_split(ext_i)
+    es_hi, es_lo = hilo_split(ext_s)
+    acc_r = acc_i = None
+    for j in range(f):
+        s = slice(j * CpP, (j + 1) * CpP)
+        rr = split_dot_presplit(hrh_ref[s], hrl_ref[s], er_hi, er_lo)
+        ii = split_dot_presplit(hih_ref[s], hil_ref[s], ei_hi, ei_lo)
+        ri = split_dot_presplit(hsh_ref[s], hsl_ref[s], es_hi, es_lo)
+        t_r, t_i = rr - ii, ri - rr - ii             # (CpP, R+_TLEAD)
+        j0 = _TLEAD - lead + j
+        t_r, t_i = t_r[:, j0:j0 + R], t_i[:, j0:j0 + R]
+        acc_r = t_r if acc_r is None else acc_r + t_r
+        acc_i = t_i if acc_i is None else acc_i + t_i
+    # write channel-major: a (K*nb, CpP) output would be 4*CpP-byte
+    # strided row writes (the wall this kernel first hit at ~100 GB/s);
+    # the (1, CpP, R) block is one contiguous burst, un-packed by XLA
+    yr_ref[0] = acc_r
+    yi_ref[0] = acc_i
+
+
+def _pick_rows_t(nb: int, M: int, CpP: int) -> int:
+    """Column-tile width for the transposed kernel: divisor of nb,
+    multiple of 8, VMEM-capped.  Per column (sublanes = M padded to 8):
+    x f32 re+im double-buffered + ext f32 x3 + bf16 splits x6."""
+    Ms = -(-M // 8) * 8
+    bytes_per_col = 16 * Ms + 12 * Ms + 12 * Ms + 16 * CpP + 32
+    cap = max(8, (9 * 2 ** 20) // max(bytes_per_col, 1) - _TLEAD)
+    cands = []
+    for d in range(1, int(np.sqrt(nb)) + 1):
+        if nb % d == 0:
+            for c in (d, nb // d):
+                if c <= cap and c % 8 == 0:
+                    cands.append(c)
+    if not cands:
+        return 0
+    best32 = [c for c in cands if c % 32 == 0]
+    return max(best32) if best32 else max(cands)
+
+
+class ReplayDDCT(ReplayDDC):
+    """Few-channel (C <= 8) transposed ReplayDDC — same state and call
+    convention; the recording is pre-tiled column-major with baked FIR
+    halos (see _kernel_t) and ramp/rotation apply in XLA on the
+    decimated output."""
+
+    def __init__(self, cfg: DirectDDCConfig, data: np.ndarray,
+                 block_len: int, blocks_per_exec: int = 8,
+                 interpret: bool | None = None, rows: int | None = None):
+        self.cfg = cfg
+        self.L = int(block_len)
+        self.K = int(blocks_per_exec)
+        M, f = cfg.M, cfg.f
+        Cp = cfg.n_channels
+        n = len(data)
+        self.CpP = 8 * max(1, -(-Cp // 8))
+        self.ok = (f >= 2 and f - 1 <= _TLEAD and self.L % M == 0 and
+                   n % self.L == 0 and n > 0 and Cp <= 32)
+        if not self.ok:
+            return
+        self.nbr = self.L // M
+        self.nblk = n // self.L
+        self.R = int(rows) if rows else _pick_rows_t(self.nbr, M, self.CpP)
+        self.ok = bool(self.R) and self.nbr % self.R == 0 and \
+            self.R % _HUNIT == 0 and f - 1 <= self.R
+        if not self.ok:
+            return
+        # pre-tiled transposed recording: tile t = columns
+        # [t*R - _TLEAD, t*R + R) of X^T (M, ntot), wrapping mod ntot
+        # (the wrap IS the looped-replay FIR history; the stream's first
+        # tile masks it in-kernel)
+        buf = np.asarray(data, dtype=np.complex64)
+        ntot = self.nblk * self.nbr
+        xt = buf.reshape(ntot, M).T                 # (M, ntot)
+        n_tiles = ntot // self.R
+        cols = (np.arange(n_tiles)[:, None] * self.R +
+                np.arange(-_TLEAD, self.R)[None, :]) % ntot
+        xtt = np.ascontiguousarray(
+            xt[:, cols].transpose(1, 0, 2))         # (n_tiles, M, R+128)
+        self._X = C(jnp.asarray(xtt.real), jnp.asarray(xtt.imag))
+        # taps transposed per-tap to (f*CpP, M), pre-split bf16 hi/lo
+        hm = cfg.modulated_taps()
+        hr = np.asarray(hm.re).reshape(f, M, Cp)
+        hi = np.asarray(hm.im).reshape(f, M, Cp)
+
+        def pack(a):       # (f, M, Cp) -> (f*CpP, M)
+            t = np.zeros((f, self.CpP, M), np.float32)
+            t[:, :Cp, :] = a.transpose(0, 2, 1)
+            return t.reshape(f * self.CpP, M)
+
+        self._HT = tuple(jnp.asarray(a) for pair in
+                         (np_hilo(pack(hr)), np_hilo(pack(hi)),
+                          np_hilo(pack(hr + hi))) for a in pair)
+        self._ramp = cfg.carrier_ramp(self.nbr)
+        from .ddc import ddc_carrier_step
+        self._dstep = ddc_carrier_step(cfg, self.L)
+        self.interpret = interpret
+
+    def multi_step(self, state, X: C | None = None):
+        """One execution: K blocks -> (state', y (K*nbr, C))."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        idx0, dph, started = state
+        cfg, K, R, nbr = self.cfg, self.K, self.R, self.nbr
+        M, f, W, Cp = cfg.M, cfg.f, cfg.rate, cfg.n_channels
+        CpP = self.CpP
+        nr = nbr // R
+        interpret = self.interpret
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+
+        ks = jnp.arange(K, dtype=jnp.int32)
+        idxs = (idx0 + ks) % jnp.int32(self.nblk)
+        val = jnp.where((ks == 0) & (started == 0), jnp.int32(0),
+                        jnp.int32(1))
+
+        def x_map(r, idx_ref, val_ref):
+            return (idx_ref[r // nr] * nr + r % nr, 0, 0)
+
+        const2 = lambda r, idx_ref, val_ref: (0, 0)
+
+        kernel = functools.partial(_kernel_t, f, R, f - 1, nr, CpP)
+        ht_spec = pl.BlockSpec((f * CpP, M), const2)
+        x_spec = pl.BlockSpec((1, M, R + _TLEAD), x_map)
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(K * nr,),
+            in_specs=[
+                x_spec, x_spec,                            # pre-tiled x^T
+                ht_spec, ht_spec,                          # tapsT re hi/lo
+                ht_spec, ht_spec,                          # tapsT im hi/lo
+                ht_spec, ht_spec,                          # tapsT sum hi/lo
+            ],
+            out_specs=(pl.BlockSpec((1, CpP, R), lambda r, i, v: (r, 0, 0)),
+                       pl.BlockSpec((1, CpP, R), lambda r, i, v: (r, 0, 0))),
+        )
+        y_call = pl.pallas_call(
+            kernel, grid_spec=gs,
+            out_shape=(jax.ShapeDtypeStruct((K * nr, CpP, R), jnp.float32),
+                       jax.ShapeDtypeStruct((K * nr, CpP, R), jnp.float32)),
+            interpret=interpret,
+        )
+        Xr = self._X if X is None else X
+        y_re, y_im = y_call(idxs, val, Xr.re, Xr.im, *self._HT)
+        unpack = lambda a: a.transpose(0, 2, 1).reshape(K * nbr, CpP)[:, :Cp]
+        y = C(unpack(y_re), unpack(y_im))
+
+        # ramp x per-block rotation on the decimated output (XLA)
+        doffs = self._offsets(K, Cp)
+        dphs = dph[None, :] + doffs
+        dphs = jnp.where(dphs >= W, dphs - W, dphs)
+        drots = cplx.expi_neg(dphs.astype(jnp.float32) *
+                              jnp.float32(2.0 * np.pi / W))   # (K, Cp)
+        ramp = self._ramp                                     # (nbr, Cp)
+        rot_r = (drots.re[:, None, :] * ramp.re[None] -
+                 drots.im[:, None, :] * ramp.im[None]).reshape(K * nbr, Cp)
+        rot_i = (drots.re[:, None, :] * ramp.im[None] +
+                 drots.im[:, None, :] * ramp.re[None]).reshape(K * nbr, Cp)
+        y = cplx.mul(y, C(rot_r, rot_i))
+
+        dK = self._offsets(K + 1, Cp)[K]
+        new_dph = dph + dK
+        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
+        new_idx = (idx0 + K) % jnp.int32(self.nblk)
+        return (new_idx, new_dph, jnp.int32(1)), y
+
+
+def make_replay_ddc(cfg: DirectDDCConfig, data: np.ndarray,
+                    block_len: int, blocks_per_exec: int = 8,
+                    interpret: bool | None = None) -> ReplayDDC:
+    """ReplayDDC factory: the transposed kernel for few channels
+    (C <= 8, where the row-major form wastes 128/C of every MXU pass),
+    the row-major kernel otherwise.  Callers check `.ok`."""
+    if cfg.n_channels <= 8:
+        rk = ReplayDDCT(cfg, data, block_len, blocks_per_exec, interpret)
+        if rk.ok:
+            return rk
+    return ReplayDDC(cfg, data, block_len, blocks_per_exec, interpret)

@@ -172,3 +172,58 @@ def test_chirp_replay_matches_scan_form(monkeypatch):
     dr2.run([sink_s])
     assert sink_k.data.shape == sink_s.data.shape
     assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
+
+
+def test_transposed_replay_matches_rowmajor():
+    """ReplayDDCT (few-channel transposed kernel: tap dots ride the
+    sublane side, ramp/rotation post-multiplied in XLA) vs the row-major
+    ReplayDDC across executions and the loop seam, and the factory picks
+    it for few channels."""
+    from gpu_sdr_tpu.ops.pallas_replay import (ReplayDDC, ReplayDDCT,
+                                               make_replay_ddc)
+    rate, M, f = 1_000_000, 10, 4
+    freqs = (100_000, -250_000)
+    L, K = 50_000, 3
+    rec = (RNG.standard_normal(3 * L) + 1j * RNG.standard_normal(3 * L)
+           ).astype(np.complex64)
+    cfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                          freqs=freqs, phases=(0, 0))
+    a = ReplayDDC(cfg, rec, block_len=L, blocks_per_exec=K, interpret=True)
+    b = ReplayDDCT(cfg, rec, block_len=L, blocks_per_exec=K,
+                   interpret=True)
+    assert a.ok and b.ok
+    sa, sb = a.init_state(), b.init_state()
+    for _ in range(3):                            # 9 blocks: wraps twice
+        sa, ya = a.multi_step(sa)
+        sb, yb = b.multi_step(sb)
+        assert golden.snr_db(cplx.to_np(ya), cplx.to_np(yb)) > 120.0
+
+    assert isinstance(make_replay_ddc(cfg, rec, L, K, interpret=True),
+                      ReplayDDCT)
+    many = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=tuple(range(1000, 10_000, 1000)),
+                           phases=(0,) * 9)
+    mk = make_replay_ddc(many, rec, L, K, interpret=True)
+    assert isinstance(mk, ReplayDDC) and not isinstance(mk, ReplayDDCT)
+
+
+def test_transposed_replay_single_tone_golden():
+    """Single-channel (the config-1 shape class) transposed replay
+    recovers the tone amplitude from a synthesized recording."""
+    from gpu_sdr_tpu.ops.pallas_replay import ReplayDDCT
+    rate, M, f = 1_000_000, 100, 4
+    L, K = 80_000, 2
+    rec = golden.tone_block([100_000], [0.5], rate, 0, L)
+    cfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                          freqs=(100_000,), phases=(0,))
+    rk = ReplayDDCT(cfg, rec.astype(np.complex64), block_len=L,
+                    blocks_per_exec=K, interpret=True)
+    assert rk.ok
+    st = rk.init_state()
+    outs = []
+    for _ in range(3):
+        st, y = rk.multi_step(st)
+        outs.append(cplx.to_np(y))
+    got = np.concatenate(outs, axis=0)
+    amp = np.abs(got[f:, 0])                      # skip FIR warmup rows
+    assert np.abs(amp - 0.5).max() < 1e-3

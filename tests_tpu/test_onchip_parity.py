@@ -213,3 +213,31 @@ def test_presum_kernel_matches_golden():
         for t in range(T)])
     snr = golden.snr_db(ref, got)
     assert snr > 100, f"pre-sum kernel vs oracle: {snr:.1f} dB"
+
+
+def test_transposed_replay_kernel_matches_rowmajor_onchip():
+    """ops/pallas_replay.ReplayDDCT (few-channel transposed kernel,
+    pre-tiled column-major recording + contiguous 3D output writes) vs
+    the row-major ReplayDDC ON CHIP — Mosaic-lowered, across executions
+    and the loop seam."""
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+    from gpu_sdr_tpu.ops.pallas_replay import ReplayDDC, ReplayDDCT
+
+    rate, M, f = 1_000_000, 10, 4
+    freqs = (100_000, -250_000)
+    L, K = 50_000, 3
+    rec = _noise(3 * L)
+    cfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                          freqs=freqs, phases=(0, 0))
+    a = ReplayDDC(cfg, rec, block_len=L, blocks_per_exec=K,
+                  interpret=False)
+    b = ReplayDDCT(cfg, rec, block_len=L, blocks_per_exec=K,
+                   interpret=False)
+    assert a.ok and b.ok
+    sa, sb = a.init_state(), b.init_state()
+    for _ in range(3):                            # 9 blocks: wraps twice
+        sa, ya = a.multi_step(sa)
+        sb, yb = b.multi_step(sb)
+        snr = golden.snr_db(cplx.to_np(ya), cplx.to_np(yb))
+        assert snr > 110, f"transposed vs row-major on chip: {snr:.1f} dB"
