@@ -43,6 +43,7 @@ class FusedLoopback:
             chain = self._try_channelizer_chain()
         # the chain replaces TX generation entirely — don't materialize an
         # unused generator (a periodic comb's wavetable constant is ~MBs)
+        self._chain = chain
         self.gen = None if chain is not None else make_generator(
             self.tx, block_len=self.demod.plan.block_len)
         if chain is not None:
@@ -100,7 +101,7 @@ class FusedLoopback:
         (contraction dim C_t) and the stacking copy is negligible, so
         periodic combs now go through the replay kernel first (see
         _try_replay_loopback); non-periodic combs take this chain
-        (config 3: 7.8 Gsps honest steady-state)."""
+        (config 3: 9.6 Gsps honest steady-state, G-fused)."""
         tx, rx = self.tx, self.rx
         if not (tx.wave_type and tx.wave_type[0] == WaveType.TONES
                 and rx.wave_type and rx.wave_type[0] == WaveType.DIRECT):
@@ -125,7 +126,8 @@ class FusedLoopback:
             # serves it — grid-axis K, stacked output written in place,
             # FIR history = the recording rows preceding each tile with
             # the loop-seam wrap matching the comb's periodicity exactly.
-            # Config 1 honest steady-state: 11.3 Gsps.
+            # Config 1 honest steady-state: 21.6 Gsps (transposed
+            # few-channel kernel via make_replay_ddc).
             chain = self._try_replay_loopback(freqs, ampls, L)
             if chain is not None:
                 return chain

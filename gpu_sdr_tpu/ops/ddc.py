@@ -66,8 +66,10 @@ class DirectDDCConfig:
     def n_channels(self) -> int:
         return len(self.freqs)
 
-    def modulated_taps(self) -> C:
-        """Hmod[i, c] = h[i] * exp(-2j*pi*f_c*i/W), shape (f*M, C)."""
+    def modulated_taps_np(self) -> np.ndarray:
+        """Hmod[i, c] = h[i] * exp(-2j*pi*f_c*i/W), shape (f*M, C),
+        float64 (for host-side constant folding, e.g. the G-fused
+        chain's synthesis x taps contraction)."""
         M, f, W = self.M, self.f, self.rate
         if self.decim > 0:
             h = fir_taps_direct(self.decim, self.pf_average, dtype=np.float64)
@@ -76,8 +78,11 @@ class DirectDDCConfig:
         i = np.arange(f * M, dtype=np.int64)
         fr = np.asarray(self.freqs, dtype=np.int64)
         ph = (fr[None, :] * (i[:, None] % W)) % W        # exact int phase
-        hmod = h[:, None] * np.exp(-2j * np.pi * (ph / float(W)))
-        return cplx.const(hmod.astype(np.complex64))
+        return h[:, None] * np.exp(-2j * np.pi * (ph / float(W)))
+
+    def modulated_taps(self) -> C:
+        """`modulated_taps_np` as a device constant (complex64 pair)."""
+        return cplx.const(self.modulated_taps_np().astype(np.complex64))
 
     def carrier_ramp(self, nb: int) -> C:
         """Block-invariant carrier factor:

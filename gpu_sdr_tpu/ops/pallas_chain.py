@@ -47,7 +47,6 @@ import numpy as np
 from . import cplx
 from .cplx import C
 from .ddc import DirectDDCConfig
-from .fir import fir_taps_direct
 from .pallas_ddc import _HALO_PAD, hilo_split as _hilo, \
     np_hilo as _np_hilo, split_dot_presplit as _psdot
 
@@ -130,8 +129,11 @@ def _pick_rows(nb: int, Ct: int, Cp: int, f: int) -> int:
     Cpp = -(-Cp // 128) * 128
     g_bytes = 6 * f * Ctp * Cpp * 2
     bytes_per_row = 28 * Ctp + 32 * Cpp
-    avail = max(1, 10 * 2 ** 20 - g_bytes)
-    cap = max(8, avail // max(bytes_per_row, 1))
+    avail = 10 * 2 ** 20 - g_bytes
+    cap = avail // max(bytes_per_row, 1)
+    if cap < 8:
+        return 0          # resident G + minimal tile overflow VMEM:
+                          # callers' ok-gate falls back to the scan path
     cands = []
     for d in range(1, int(np.sqrt(nb)) + 1):
         if nb % d == 0:
@@ -195,15 +197,7 @@ class TonesDirectChain:
         self._lP = cplx.const(lP.astype(np.complex64))
         # G[j, t, c] = sum_m Q[t, m] * hmod[j*M+m, c] in float64: the
         # synthesis matmul contracted into the modulated taps host-side
-        if self.cfg.decim > 0:
-            h = fir_taps_direct(self.cfg.decim, self.cfg.pf_average,
-                                dtype=np.float64)
-        else:
-            h = np.ones(1, dtype=np.float64)
-        i = np.arange(f * M, dtype=np.int64)
-        rxfr = np.asarray(self.cfg.freqs, dtype=np.int64)
-        ph_h = (rxfr[None, :] * (i[:, None] % W)) % W
-        hmod = h[:, None] * np.exp(-2j * np.pi * (ph_h / float(W)))
+        hmod = self.cfg.modulated_taps_np()
         G = np.einsum("tm,jmc->jtc", Q,
                       hmod.reshape(f, M, Cp)).astype(np.complex64)
         g_re = G.real.astype(np.float32)

@@ -157,7 +157,9 @@ def _pick_rows(nb: int, M: int, Cn: int) -> int:
     # x (f32, re+im, double-buffered) + ext/split temporaries (f32 + bf16)
     # + y and ramp tiles (f32, re+im, double-buffered)
     bytes_per_row = 16 * Mp + 24 * Mp + 32 * Cp
-    cap = max(8, (9 * 2 ** 20) // max(bytes_per_row, 1))
+    cap = (9 * 2 ** 20) // max(bytes_per_row, 1)
+    if cap < 8:
+        return 0          # even the minimal tile overflows VMEM
     cands = []
     for d in range(1, int(np.sqrt(nb)) + 1):
         if nb % d == 0:

@@ -138,23 +138,11 @@ class ReplayDDC:
         s = np.asarray(self._dstep, dtype=np.int64)[None, :]
         return jnp.asarray(((k * s) % W).astype(np.int32))
 
-    def multi_step(self, state, X: C | None = None):
-        """One execution: K blocks -> (state', y (K*nbr, C)).
-
-        Pass the recording `X` explicitly when calling under an outer
-        jit: a closure-captured device array becomes an inlined constant
-        in the compile request, which this rig's remote-compile relay
-        rejects/crashes on for large recordings."""
-        import jax.experimental.pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
+    def _block_rots_and_advance(self, state, K):
+        """Per-block output rotations for K blocks (exact int32 phase) and
+        the advanced state: (idxs, val, drots (K, C), state')."""
         idx0, dph, started = state
-        cfg, K, R, nbr = self.cfg, self.K, self.R, self.nbr
-        M, f, W, Cp = cfg.M, cfg.f, cfg.rate, cfg.n_channels
-        nr = nbr // R
-        interpret = self.interpret
-        if interpret is None:
-            interpret = jax.default_backend() not in ("tpu", "axon")
-
+        W, Cp = self.cfg.rate, self.cfg.n_channels
         ks = jnp.arange(K, dtype=jnp.int32)
         idxs = (idx0 + ks) % jnp.int32(self.nblk)
         # history valid except the stream's very first block
@@ -165,6 +153,29 @@ class ReplayDDC:
         dphs = jnp.where(dphs >= W, dphs - W, dphs)
         drots = cplx.expi_neg(dphs.astype(jnp.float32) *
                               jnp.float32(2.0 * np.pi / W))
+        dK = self._offsets(K + 1, Cp)[K]
+        new_dph = dph + dK
+        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
+        new_idx = (idx0 + K) % jnp.int32(self.nblk)
+        return idxs, val, drots, (new_idx, new_dph, jnp.int32(1))
+
+    def multi_step(self, state, X: C | None = None):
+        """One execution: K blocks -> (state', y (K*nbr, C)).
+
+        Pass the recording `X` explicitly when calling under an outer
+        jit: a closure-captured device array becomes an inlined constant
+        in the compile request, which this rig's remote-compile relay
+        rejects/crashes on for large recordings."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        cfg, K, R, nbr = self.cfg, self.K, self.R, self.nbr
+        M, f, W, Cp = cfg.M, cfg.f, cfg.rate, cfg.n_channels
+        nr = nbr // R
+        interpret = self.interpret
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+
+        idxs, val, drots, new_state = self._block_rots_and_advance(state, K)
         rep8 = lambda a: jnp.repeat(a, 8, axis=0)    # Mosaic 8-sublane
         drots = C(rep8(drots.re), rep8(drots.im))
 
@@ -214,11 +225,7 @@ class ReplayDDC:
             self._hmod.re, self._hmod.im, self._hsum,
             self._ramp.re, self._ramp.im, drots.re, drots.im)
 
-        dK = self._offsets(K + 1, Cp)[K]
-        new_dph = dph + dK
-        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
-        new_idx = (idx0 + K) % jnp.int32(self.nblk)
-        return (new_idx, new_dph, jnp.int32(1)), C(y_re, y_im)
+        return new_state, C(y_re, y_im)
 
 
 _TLEAD = 128    # baked halo columns preceding each pre-tiled column tile
@@ -284,7 +291,10 @@ def _pick_rows_t(nb: int, M: int, CpP: int) -> int:
     x f32 re+im double-buffered + ext f32 x3 + bf16 splits x6."""
     Ms = -(-M // 8) * 8
     bytes_per_col = 16 * Ms + 12 * Ms + 12 * Ms + 16 * CpP + 32
-    cap = max(8, (9 * 2 ** 20) // max(bytes_per_col, 1) - _TLEAD)
+    cap = (9 * 2 ** 20) // max(bytes_per_col, 1) - _TLEAD
+    if cap < 8:
+        return 0          # even the minimal tile overflows VMEM:
+                          # make_replay_ddc falls back to row-major
     cands = []
     for d in range(1, int(np.sqrt(nb)) + 1):
         if nb % d == 0:
@@ -293,8 +303,10 @@ def _pick_rows_t(nb: int, M: int, CpP: int) -> int:
                     cands.append(c)
     if not cands:
         return 0
-    best32 = [c for c in cands if c % 32 == 0]
-    return max(best32) if best32 else max(cands)
+    # largest wins outright: with columns on lanes the 32-align sweet
+    # spot of the row-major streamed tiles does not apply (measured
+    # R=2000 ~9% over R=1600 at the config-1 shape, tools sweep)
+    return max(cands)
 
 
 class ReplayDDCT(ReplayDDC):
@@ -359,19 +371,15 @@ class ReplayDDCT(ReplayDDC):
         """One execution: K blocks -> (state', y (K*nbr, C))."""
         import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        idx0, dph, started = state
         cfg, K, R, nbr = self.cfg, self.K, self.R, self.nbr
-        M, f, W, Cp = cfg.M, cfg.f, cfg.rate, cfg.n_channels
+        M, f, Cp = cfg.M, cfg.f, cfg.n_channels
         CpP = self.CpP
         nr = nbr // R
         interpret = self.interpret
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
 
-        ks = jnp.arange(K, dtype=jnp.int32)
-        idxs = (idx0 + ks) % jnp.int32(self.nblk)
-        val = jnp.where((ks == 0) & (started == 0), jnp.int32(0),
-                        jnp.int32(1))
+        idxs, val, drots, new_state = self._block_rots_and_advance(state, K)
 
         def x_map(r, idx_ref, val_ref):
             return (idx_ref[r // nr] * nr + r % nr, 0, 0)
@@ -404,24 +412,15 @@ class ReplayDDCT(ReplayDDC):
         unpack = lambda a: a.transpose(0, 2, 1).reshape(K * nbr, CpP)[:, :Cp]
         y = C(unpack(y_re), unpack(y_im))
 
-        # ramp x per-block rotation on the decimated output (XLA)
-        doffs = self._offsets(K, Cp)
-        dphs = dph[None, :] + doffs
-        dphs = jnp.where(dphs >= W, dphs - W, dphs)
-        drots = cplx.expi_neg(dphs.astype(jnp.float32) *
-                              jnp.float32(2.0 * np.pi / W))   # (K, Cp)
+        # ramp x per-block rotation on the decimated output (XLA);
+        # drots (K, Cp) from the shared exact-int32 phase bookkeeping
         ramp = self._ramp                                     # (nbr, Cp)
         rot_r = (drots.re[:, None, :] * ramp.re[None] -
                  drots.im[:, None, :] * ramp.im[None]).reshape(K * nbr, Cp)
         rot_i = (drots.re[:, None, :] * ramp.im[None] +
                  drots.im[:, None, :] * ramp.re[None]).reshape(K * nbr, Cp)
         y = cplx.mul(y, C(rot_r, rot_i))
-
-        dK = self._offsets(K + 1, Cp)[K]
-        new_dph = dph + dK
-        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
-        new_idx = (idx0 + K) % jnp.int32(self.nblk)
-        return (new_idx, new_dph, jnp.int32(1)), y
+        return new_state, y
 
 
 def make_replay_ddc(cfg: DirectDDCConfig, data: np.ndarray,

@@ -45,18 +45,24 @@ def main(target_gsamples: float = 3.0):
                        decim=100, pf_average=4, freq=freqs,
                        wave_type=[WaveType.DIRECT] * n_tones)
     fl = FusedLoopback(tx, rx, blocks_per_exec=K)
-    chain = fl._try_tones_direct_chain()
-    assert isinstance(chain, _ReplayLoopbackChain) and \
-        isinstance(chain.rk, ReplayDDCT), type(chain)
+    assert isinstance(fl._chain, _ReplayLoopbackChain) and \
+        isinstance(fl._chain.rk, ReplayDDCT), type(fl._chain)
+
+    def hard_sync(y):
+        # block_until_ready can ack early through this rig's relay;
+        # end every timed region with a real 4-byte fetch (CLAUDE.md)
+        return float(np.asarray(jax.device_get(y.re.reshape(-1)[0])))
 
     gstate, dstate = fl._init_states()
     gstate, dstate, y = fl._multi(gstate, dstate)
     jax.block_until_ready(y)
+    hard_sync(y)
     n_exec = max(1, int(target_gsamples * 1e9) // (K * L))
     t0 = time.perf_counter()
     for _ in range(n_exec - 1):
         gstate, dstate, y = fl._multi(gstate, dstate)
     jax.block_until_ready(y)
+    hard_sync(y)
     dt = time.perf_counter() - t0
     # y is (K, rows, C) stacked blocks; take the last block's tail rows
     tail = cplx.to_np(cplx.C(y.re[-1], y.im[-1]))[-2000:, :]
