@@ -227,3 +227,36 @@ def test_transposed_replay_single_tone_golden():
     got = np.concatenate(outs, axis=0)
     amp = np.abs(got[f:, 0])                      # skip FIR warmup rows
     assert np.abs(amp - 0.5).max() < 1e-3
+
+
+def test_vmem_overflow_geometries_gate_cleanly():
+    """Geometries whose minimal tile would overflow VMEM must set
+    ok=False (pickers return 0) so dispatch falls back instead of
+    letting Mosaic crash at compile time."""
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectChain
+    from gpu_sdr_tpu.ops.pallas_replay import ReplayDDCT, make_replay_ddc
+
+    # transposed replay with a huge decimation: one column = decim
+    # samples -> even an 8-column tile exceeds the VMEM budget
+    rate, decim = 100_000_000, 500_000
+    L = 4_000_000
+    cfg = DirectDDCConfig(rate=rate, decim=decim, pf_average=4,
+                          freqs=(10_000_000,), phases=(0,))
+    rec = np.zeros(L, np.complex64)
+    rk = ReplayDDCT(cfg, rec, block_len=L, blocks_per_exec=2,
+                    interpret=True)
+    assert not rk.ok
+    # the factory must hand back a gate-checkable object, not raise
+    mk = make_replay_ddc(cfg, rec, L, 2, interpret=True)
+    assert hasattr(mk, "ok")
+
+    # G-fused chain with a huge comb x channel count: the resident G
+    # constant alone exceeds the budget -> chain.ok False
+    n = 1024
+    freqs = tuple(range(1000, 1000 * (n + 1), 1000))
+    dcfg = DirectDDCConfig(rate=rate, decim=100, pf_average=4,
+                           freqs=freqs, phases=(0,) * n)
+    chain = TonesDirectChain(rate=rate, tx_freqs=freqs,
+                             tx_ampls=(0.001,) * n, cfg=dcfg,
+                             block_len=L, interpret=True)
+    assert not chain.ok
