@@ -215,15 +215,22 @@ def _build_direct_sharded(p: AntennaParams, plan: BlockPlan,
     from ..parallel.sharded import ShardedDDC
     plan = _mesh_plan(plan, mesh, 1)
     freqs = tuple(int(f) for f in p.freq)
+    Cg = len(freqs)
+    # the channel mesh axis splits the tone list evenly; pad with dummy
+    # DC tones when it doesn't (e.g. a small mixed-mode group) and slice
+    # the padding off the output — the dummies cost one lane group each
+    Kc = mesh.shape.get("channels", 1)
+    pad = (-Cg) % Kc
     cfg = ddc_ops.DirectDDCConfig(
         rate=int(p.rate), decim=int(p.decim), pf_average=int(p.pf_average),
-        freqs=freqs, phases=(0,) * len(freqs))
+        freqs=freqs + (0,) * pad, phases=(0,) * (Cg + pad))
     sd = ShardedDDC(cfg, mesh, plan.block_len)
 
     def step(state, x):
-        return sd.step(state, x)
+        state, y = sd.step(state, x)
+        return state, (C(y.re[:, :Cg], y.im[:, :Cg]) if pad else y)
 
-    return Demodulator(plan=plan, n_channels=len(freqs),
+    return Demodulator(plan=plan, n_channels=Cg,
                        init_state=sd.init_state, step=step,
                        wave_type=WaveType.DIRECT)
 
@@ -341,7 +348,9 @@ class MixedDemodulator:
         return sum(g.demod.n_channels for g in self.groups)
 
 
-def _build_for(p: AntennaParams, plan: BlockPlan, w: WaveType):
+def _build_for(p: AntennaParams, plan: BlockPlan, w: WaveType, mesh=None):
+    if mesh is not None:
+        return _build_for_sharded(p, plan, w, mesh)
     if w == WaveType.DIRECT:
         return _build_direct(p, plan)
     if w == WaveType.TONES:
@@ -355,9 +364,26 @@ def _build_for(p: AntennaParams, plan: BlockPlan, w: WaveType):
     raise NotImplementedError(f"demodulation for {w} not implemented")
 
 
-def _build_mixed(p: AntennaParams, samples) -> MixedDemodulator:
+def _build_for_sharded(p: AntennaParams, plan: BlockPlan, w: WaveType,
+                       mesh):
+    if w == WaveType.DIRECT:
+        return _build_direct_sharded(p, plan, mesh)
+    if w == WaveType.NOISE:
+        return _build_noise_sharded(p, plan, mesh)
+    if w == WaveType.TONES:
+        return _build_tones_sharded(p, plan, mesh)
+    if w == WaveType.CHIRP:
+        return _build_chirp_sharded(p, plan, mesh)
+    raise NotImplementedError(
+        f"sharded demodulation for {w} not implemented yet")
+
+
+def _build_mixed(p: AntennaParams, samples, mesh=None) -> MixedDemodulator:
     """Partition the channel list by wave type and run every group's
-    demodulator on the same block inside one jitted step."""
+    demodulator on the same block inside one jitted step.  With `mesh`,
+    every group runs its SHARDED demodulator over the same time-sharded
+    block (the block length is made commensurate with every group's
+    per-shard stride constraints)."""
     import math
 
     from .planner import (_commensurate, mode_stride)
@@ -401,12 +427,22 @@ def _build_mixed(p: AntennaParams, samples) -> MixedDemodulator:
                 "(matches reference)")
         subs.append((w, tuple(idx), sub))
 
-    # common block: the lcm of every group's stride, near buffer_len
+    # common block: the lcm of every group's stride, near buffer_len.
+    # Under a mesh the block must additionally split evenly across the
+    # time shards at every group's stride (and the sharded TONES path's
+    # extra per-shard decim-grouping constraint, cf. _build_tones_sharded)
     q = 1
-    for _w, _idx, sub in subs:
-        q = math.lcm(q, mode_stride(sub))
+    qc = 1
+    t_shards = mesh.shape.get("time", 1) if mesh is not None else 1
+    for w, _idx, sub in subs:
+        sg = mode_stride(sub)
+        q = math.lcm(q, sg)
+        extra = max(1, int(sub.decim)) if (
+            mesh is not None and w == WaveType.TONES) else 1
+        qc = math.lcm(qc, sg * extra)
+    qc *= t_shards
     from ..params import DEFAULT_BUFFER_LEN
-    block = _commensurate(p.buffer_len or DEFAULT_BUFFER_LEN, q)
+    block = _commensurate(p.buffer_len or DEFAULT_BUFFER_LEN, qc)
     total = int(samples if samples is not None else p.samples)
     if total <= 0:
         total = block
@@ -418,9 +454,10 @@ def _build_mixed(p: AntennaParams, samples) -> MixedDemodulator:
         gplan = BlockPlan(block_len=block, stride=sg,
                          out_rows=block // sg, n_blocks=n_blocks,
                          total_samples=n_blocks * block)
+        gd = _build_for(sub, gplan, w, mesh=mesh)
+        assert gd.plan.block_len == block, (w, gd.plan.block_len, block)
         groups.append(MixedGroup(wave_type=w, channel_idx=idx,
-                                 demod=_build_for(sub, gplan, w),
-                                 params=sub))
+                                 demod=gd, params=sub))
 
     def init_state():
         return tuple(g.demod.init_state() for g in groups)
@@ -445,29 +482,18 @@ def make_demodulator(p: AntennaParams, samples: int | None = None,
     """Build the streaming demodulator for one RX antenna (the factory
     switch of the reference ctor, cpp/USRP_demodulator.cpp:56-326).
 
-    With `mesh` (a jax.sharding.Mesh with 'time'/'channels' axes), DIRECT
-    and NOISE modes run multi-chip with ICI halo exchange.  Mixed wave
-    types on one antenna run parallel per-type demodulators over the same
-    block (a capability the reference rejects,
-    cpp/USRP_demodulator.cpp:36-39) — single-device only."""
+    With `mesh` (a jax.sharding.Mesh with 'time'/'channels' axes), all
+    four demod families run multi-chip with ICI halo exchange.  Mixed
+    wave types on one antenna run parallel per-type demodulators over the
+    same block (a capability the reference rejects,
+    cpp/USRP_demodulator.cpp:36-39), including under a mesh — each group
+    runs its sharded demodulator on the same time-sharded block."""
     w = p.wave_type[0] if p.wave_type else WaveType.NODSP
     if any(x != w for x in p.wave_type):
-        if mesh is not None:
-            raise NotImplementedError(
-                "mixed wave types are single-device only")
-        return _build_mixed(p, samples)
+        return _build_mixed(p, samples, mesh=mesh)
     plan = plan_blocks(p, samples)
     if mesh is not None:
-        if w == WaveType.DIRECT:
-            return _build_direct_sharded(p, plan, mesh)
-        if w == WaveType.NOISE:
-            return _build_noise_sharded(p, plan, mesh)
-        if w == WaveType.TONES:
-            return _build_tones_sharded(p, plan, mesh)
-        if w == WaveType.CHIRP:
-            return _build_chirp_sharded(p, plan, mesh)
-        raise NotImplementedError(
-            f"sharded demodulation for {w} not implemented yet")
+        return _build_for_sharded(p, plan, w, mesh)
     if w == WaveType.DIRECT:
         return _build_direct(p, plan)
     if w == WaveType.TONES:

@@ -114,8 +114,27 @@ def test_mixed_measurement_h5_layout(tmp_path, monkeypatch):
     assert golden.snr_db(ref_c[:m], vna[0, :m]) > 80
 
 
-def test_mixed_rejected_on_mesh():
+def test_mixed_on_mesh_matches_single_device():
+    """Mixed wave types under a mesh: every group's SHARDED demodulator
+    (time-sharded blocks, ICI halos) consumes the same block inside one
+    jitted step, and the outputs match the single-device mixed path."""
     from gpu_sdr_tpu.parallel import make_mesh
     mesh = make_mesh((2, 4), ("time", "channels"))
-    with pytest.raises(NotImplementedError, match="single-device"):
-        make_demodulator(_mixed_rx(), mesh=mesh)
+    rx = _mixed_rx()
+    dm = make_demodulator(rx, mesh=mesh)
+    ds = make_demodulator(rx)
+    assert isinstance(dm, MixedDemodulator)
+    # block splits evenly across time shards at every group's stride
+    assert dm.plan.block_len % (2 * 100 * 100) == 0
+    assert dm.plan.block_len == ds.plan.block_len
+    B = dm.plan.block_len
+    x, cp = _stimulus(3 * B)
+
+    sm, ss = dm.init_state(), ds.init_state()
+    for b in range(3):                    # cross-block carries exercised
+        blk = cplx.from_np(x[b * B:(b + 1) * B])
+        sm, ym = dm.step(sm, blk)
+        ss, ys = ds.step(ss, blk)
+        for g, (a, r) in enumerate(zip(ym, ys)):
+            snr = golden.snr_db(cplx.to_np(r), cplx.to_np(a))
+            assert snr > 80, f"block {b} group {g}: {snr:.1f} dB"
