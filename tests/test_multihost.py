@@ -52,3 +52,6 @@ def test_two_process_sharded_chain_matches_golden():
         # phase 3: sharded TONES / NOISE-decim / CHIRP families, golden-
         # checked shard-by-shard on both hosts
         assert '"phase3_ok": true' in out, out[-2000:]
+        # phase 4: mixed wave types (DIRECT + CHIRP on one RX) under the
+        # cross-process mesh
+        assert '"phase4_ok": true' in out, out[-2000:]

@@ -224,7 +224,64 @@ def main():
     phase3_ok = all(v > 80.0 for v in results.values())
     results.update({"process": args.process_id, "phase3_ok": phase3_ok})
     print(json.dumps(results), flush=True)
-    sys.exit(0 if (ok and amp_ok and phase3_ok) else 1)
+
+    # phase 4: MIXED wave types under the cross-process mesh (beyond the
+    # reference): DIRECT readout + a CHIRP sweep on one RX stream, each
+    # group's SHARDED demodulator on the same time-sharded block; every
+    # process golden-checks its addressable shards of both outputs
+    from jax.sharding import NamedSharding, PartitionSpec
+    from gpu_sdr_tpu.engine import make_demodulator
+    from gpu_sdr_tpu.ops.cplx import C as Cpair
+
+    F_T = [100_000, -200_000]
+    cpm = golden.ChirpParameter(-300_000, 300_000, rate, 1000, 0.1)
+    rxm = AntennaParams(
+        mode=AntMode.RX, rate=rate, buffer_len=100_000, samples=200_000,
+        decim=100, pf_average=pfa, freq=F_T + [-300_000],
+        wave_type=[WaveType.DIRECT] * 2 + [WaveType.CHIRP],
+        chirp_f=[0, 0, 300_000], chirp_t=[0.0, 0.0, 0.1],
+        swipe_s=[0, 0, 1000])
+    dm = make_demodulator(rxm, mesh=mesh)
+    B = dm.plan.block_len
+    comb = golden.tone_block(F_T, [0.4, 0.25], rate, 0, 2 * B)
+    xm = (comb + golden.chirp_signal(cpm, 0, 2 * B)).astype(np.complex64)
+    refd = golden.GoldenDirectDemodulator(F_T, rate, 100, pfa)(xm).T
+    refc = golden.GoldenVNADecimator(cpm.length * 100)(
+        golden.chirp_demod(cpm, 0, xm))[:, None]
+    tspec = NamedSharding(mesh, PartitionSpec("time"))
+    smix = dm.init_state()
+    rd = B // 100
+    rc = B // (100 * cpm.length)
+
+    def worst_shard_ratio_c(y_c, want, worst):
+        """Complex per-shard ratio: tone channels demodulate to ~real
+        amplitudes, so a per-component ratio would divide the im error
+        by a near-zero im denominator."""
+        for sr, si in zip(y_c.re.addressable_shards,
+                          y_c.im.addressable_shards):
+            g = np.asarray(sr.data) + 1j * np.asarray(si.data)
+            ww = want[sr.index]
+            num = float(np.sum(np.abs(g - ww.astype(np.complex64)) ** 2))
+            den = float(np.sum(np.abs(ww) ** 2)) or 1.0
+            worst = max(worst, num / den)
+        return worst
+
+    worst_d = worst_c = 0.0
+    for b_i in range(2):
+        blk = xm[b_i * B:(b_i + 1) * B]
+        xb = Cpair(jax.device_put(blk.real.astype(np.float32), tspec),
+                   jax.device_put(blk.imag.astype(np.float32), tspec))
+        smix, (yd, yc) = dm.step(smix, xb)
+        worst_d = worst_shard_ratio_c(
+            yd, refd[b_i * rd:(b_i + 1) * rd], worst_d)
+        worst_c = worst_shard_ratio_c(
+            yc, refc[b_i * rc:(b_i + 1) * rc], worst_c)
+    mixed = {"mixed_direct_snr_db": to_db(worst_d),
+             "mixed_chirp_snr_db": to_db(worst_c)}
+    phase4_ok = all(v > 80.0 for v in mixed.values())
+    mixed.update({"process": args.process_id, "phase4_ok": phase4_ok})
+    print(json.dumps(mixed), flush=True)
+    sys.exit(0 if (ok and amp_ok and phase3_ok and phase4_ok) else 1)
 
 
 if __name__ == "__main__":
