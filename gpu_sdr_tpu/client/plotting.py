@@ -83,13 +83,16 @@ def plot_raw_data(filenames, decimation=None, displayed_samples=None,
         s1 = int(end_time * rate) if end_time else data.shape[1]
         for i, ch in enumerate(chans):
             y = data[ch, s0:s1]
+            eff_rate = rate
             if decimation and decimation > 1:
                 from scipy import signal as sg
                 y = sg.decimate(y, int(decimation), ftype="fir")
+                eff_rate = rate / int(decimation)
             if displayed_samples:
                 step = max(1, len(y) // displayed_samples)
                 y = y[::step]
-            t = np.arange(len(y)) / rate
+                eff_rate /= step
+            t = (start_time or 0) + np.arange(len(y)) / eff_rate
             series.append((t, y, f"{os.path.basename(fn)} ch{ch}", i))
     if mode == "IQ":
         tops = [(t, y.real) for t, y, *_ in series]
@@ -391,7 +394,7 @@ def plot_reso_stat(filenames, reso_freq=None, backend="matplotlib",
         for label, getter in panels:
             pn = fig.panel(ylabel=label, xlabel=xlabel)
             for i, series in sorted(points.items()):
-                series = sorted(series)
+                series = sorted(series, key=lambda s: s[0])
                 pn.line([s[0] for s in series],
                         [getter(s[1]) for s in series],
                         name=f"reso {i}", color=get_color(i), markers=True)
@@ -399,7 +402,7 @@ def plot_reso_stat(filenames, reso_freq=None, backend="matplotlib",
     fig, axes = pl.subplots(nrows=2, ncols=2, figsize=(11, 8))
     for ax, (label, getter) in zip(axes.flat, panels):
         for i, series in sorted(points.items()):
-            series = sorted(series)
+            series = sorted(series, key=lambda s: s[0])
             xs = [s[0] for s in series]
             ys = [getter(s[1]) for s in series]
             ax.plot(xs, ys, "o-", color=get_color(i), label=f"reso {i}")

@@ -37,7 +37,11 @@ class DualFused:
                  blocks_per_exec: int = 8):
         assert len(pairs) >= 2
         self.rx_names = [name for name, _tx, _rx in pairs]
-        self.front_ends = [name[0] for name in self.rx_names]
+        # wire code = the FULL antenna name (A_TXRX/A_RX2/B_TXRX/B_RX2):
+        # collapsing to the frontend letter would make e.g. a dual
+        # measurement on A_TXRX + A_RX2 indistinguishable on the wire
+        # (both streams coded 'A' with colliding packet numbers)
+        self.front_ends = list(self.rx_names)
         self.chains = [FusedLoopback(tx, rx, blocks_per_exec=blocks_per_exec)
                        for _fe, tx, rx in pairs]
         self.blocks_per_exec = blocks_per_exec

@@ -171,7 +171,7 @@ def main(argv=None) -> int:
              args.replay)
     srv = Server(async_port=args.async_port, data_port=args.data_port,
                  file_writing=args.fw, tcp_streaming=not args.no_net,
-                 replay=args.replay)
+                 replay=args.replay, ingest_port=args.ingest)
     srv.start()
     print(f"gpu_sdr_tpu server ready: async port {srv.ports[0]}, "
           f"data port {srv.ports[1]}")

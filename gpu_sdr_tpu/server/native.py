@@ -102,6 +102,8 @@ class NativeIngest:
         self._lib = lib
         self.block_len = int(block_len)
         self.block_bytes = 8 * self.block_len     # complex64
+        import threading
+        self._h_lock = threading.Lock()   # close() vs feeder-thread race
         self._h = lib.sdr_ingest_create(port, self.block_bytes, queue_len)
         if not self._h:
             raise RuntimeError(f"cannot bind native ingest to port {port}")
@@ -109,15 +111,22 @@ class NativeIngest:
 
     def pop_block(self, timeout: float = 10.0) -> Optional[np.ndarray]:
         """Blocking pop of one complex64 block; None on EOF with an empty
-        ring, raises TimeoutError if no producer delivers in time."""
+        ring (or after close()), raises TimeoutError if no producer
+        delivers in time.  Every native call takes the handle lock so a
+        concurrent close() (e.g. TXRX teardown while the HostFeed feeder
+        thread is still polling) cannot free the handle mid-call."""
         out = np.empty(self.block_len, dtype=np.complex64)
         ptr = out.ctypes.data_as(ctypes.c_void_p)
         t0 = time.monotonic()
         while True:
-            if self._lib.sdr_ingest_pop(self._h, ptr):
-                return out
-            if self._lib.sdr_ingest_eof(self._h) and \
-                    self._lib.sdr_ingest_pending(self._h) == 0:
+            with self._h_lock:
+                if not self._h:
+                    return None
+                if self._lib.sdr_ingest_pop(self._h, ptr):
+                    return out
+                done = (self._lib.sdr_ingest_eof(self._h) and
+                        self._lib.sdr_ingest_pending(self._h) == 0)
+            if done:
                 return None
             if time.monotonic() - t0 > timeout:
                 raise TimeoutError("ingest: no data from producer")
@@ -125,20 +134,26 @@ class NativeIngest:
 
     @property
     def stats(self) -> dict:
-        return {
-            "blocks_received": int(
-                self._lib.sdr_ingest_blocks_received(self._h)),
-            "overflows": int(self._lib.sdr_ingest_overflows(self._h)),
-            "fragments": int(self._lib.sdr_ingest_fragments(self._h)),
-        }
+        with self._h_lock:
+            if not self._h:
+                return {"blocks_received": 0, "overflows": 0,
+                        "fragments": 0}
+            return {
+                "blocks_received": int(
+                    self._lib.sdr_ingest_blocks_received(self._h)),
+                "overflows": int(self._lib.sdr_ingest_overflows(self._h)),
+                "fragments": int(self._lib.sdr_ingest_fragments(self._h)),
+            }
 
     def connected(self) -> bool:
-        return bool(self._lib.sdr_ingest_connected(self._h))
+        with self._h_lock:
+            return bool(self._h and self._lib.sdr_ingest_connected(self._h))
 
     def close(self) -> None:
-        if self._h:
-            self._lib.sdr_ingest_destroy(self._h)
-            self._h = None
+        with self._h_lock:
+            if self._h:
+                self._lib.sdr_ingest_destroy(self._h)
+                self._h = None
 
     def __del__(self):
         try:
@@ -185,8 +200,15 @@ class NativeSyncServer:
                                       meta.channels, data)
         t0 = time.monotonic()
         while True:
-            if self._lib.sdr_stream_server_push(self._h, buf, len(buf)):
-                return True
+            # per-iteration handle lock: a force-stop can close() while a
+            # worker thread is mid-push — never call into freed native
+            # state (cf. drop_client's docstring)
+            with self._h_lock:
+                if not self._h:
+                    return False
+                if self._lib.sdr_stream_server_push(self._h, buf,
+                                                    len(buf)):
+                    return True
             if time.monotonic() - t0 > timeout:
                 return False
             time.sleep(0.001)
@@ -206,27 +228,36 @@ class NativeSyncServer:
     def wait_client(self, timeout: Optional[float] = None) -> bool:
         t0 = time.monotonic()
         while True:
-            if self._lib.sdr_stream_server_connected(self._h):
-                return True
+            with self._h_lock:
+                if self._h and \
+                        self._lib.sdr_stream_server_connected(self._h):
+                    return True
             if timeout is not None and time.monotonic() - t0 > timeout:
                 return False
             time.sleep(0.01)
 
     def flush(self, timeout: float = 10.0) -> None:
         t0 = time.monotonic()
-        while self._lib.sdr_stream_server_pending(self._h) > 0:
+        while True:
+            with self._h_lock:
+                if not self._h or \
+                        self._lib.sdr_stream_server_pending(self._h) <= 0:
+                    return
             if time.monotonic() - t0 > timeout:
-                break
+                return
             time.sleep(0.005)
 
     @property
     def stats(self):
-        return {
-            "packets_sent": int(
-                self._lib.sdr_stream_server_packets_sent(self._h)),
-            "bytes_sent": int(
-                self._lib.sdr_stream_server_bytes_sent(self._h)),
-        }
+        with self._h_lock:
+            if not self._h:
+                return {"packets_sent": 0, "bytes_sent": 0}
+            return {
+                "packets_sent": int(
+                    self._lib.sdr_stream_server_packets_sent(self._h)),
+                "bytes_sent": int(
+                    self._lib.sdr_stream_server_bytes_sent(self._h)),
+            }
 
     def close(self) -> None:
         with self._h_lock:

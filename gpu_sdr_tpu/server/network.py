@@ -182,14 +182,15 @@ class AsyncServer(_SingleClientServer):
                 continue
             c.settimeout(0.5)
             try:
-                raw = wire.recv_exact(c, 8)
+                raw = wire.recv_exact(c, 8, stop=self._stop.is_set)
                 if raw is None:
                     self.drop_client()
                     continue
                 length = wire.decode_async_header(raw)
                 if length <= 0:
                     continue
-                payload = wire.recv_exact(c, length)
+                payload = wire.recv_exact(c, length,
+                                          stop=self._stop.is_set)
                 if payload is None:
                     self.drop_client()
                     continue

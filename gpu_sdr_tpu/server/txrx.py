@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..engine.channel import Channel, IdealChannel
+from ..engine.channel import Channel
 from ..engine.sinks import PacketMeta, Sink
 from ..engine.sources import Source
 from ..measure import run_measurement
@@ -50,7 +50,10 @@ class TXRX:
                  ingest_port: Optional[int] = None):
         self.settings = settings
         self.sync_server = sync_server
-        self.channel = channel or IdealChannel()
+        # keep None as None: run_measurement's fast paths (DualFused,
+        # FusedLoopback, DeviceReplay) all gate on `channel is None` and
+        # apply IdealChannel themselves where a channel is actually used
+        self.channel = channel
         self.source = source
         self.file_writing = (settings.file_writing if file_writing is None
                              else file_writing)
@@ -119,10 +122,15 @@ class TXRX:
                 stamp = datetime.datetime.now().strftime("%d%m%Y_%H%M%S")
                 filename = f"USRP_{stamp}"
             source = self.source
-            if source is None and self.ingest_port is not None:
-                source = ingest = self._make_ingest_source()
-            self.active_ingest_port = ingest.port if ingest else None
-            self._ingest_ready.set()
+            try:
+                if source is None and self.ingest_port is not None:
+                    source = ingest = self._make_ingest_source()
+                self.active_ingest_port = ingest.port if ingest else None
+            finally:
+                # ALWAYS release waiters: if ingest setup raises,
+                # serve_one would otherwise block the full
+                # wait_ingest_port timeout before nacking
+                self._ingest_ready.set()
             self.last_filename = run_measurement(
                 self._params, filename, channel=self.channel,
                 source=source, extra_sinks=extra)

@@ -93,12 +93,26 @@ def decode_async_header(raw: bytes) -> int:
     return int(length) if zero == 0 else 0
 
 
-def recv_exact(sock, n: int) -> Optional[bytes]:
-    """Read exactly n bytes from a socket (None on EOF)."""
+def recv_exact(sock, n: int, stop=None) -> Optional[bytes]:
+    """Read exactly n bytes from a socket (None on EOF).
+
+    A socket timeout with NOTHING consumed propagates (the caller's poll
+    loop); once partial data has arrived the read continues across
+    timeouts — abandoning a half-read message would permanently desync
+    the framing (the next header would be parsed from mid-payload
+    bytes).  `stop` (nullary callable) aborts a mid-message wait."""
+    import socket as _socket
     chunks = []
     got = 0
     while got < n:
-        b = sock.recv(n - got)
+        try:
+            b = sock.recv(n - got)
+        except _socket.timeout:
+            if got == 0:
+                raise
+            if stop is not None and stop():
+                return None
+            continue
         if not b:
             return None
         chunks.append(b)

@@ -5,6 +5,7 @@
 #include <cstdio>
 #include <cstring>
 #include <thread>
+#include <vector>
 
 #include "spsc_ring.hpp"
 
@@ -33,6 +34,17 @@ int main() {
     ++expected;
   }
   producer.join();
+
+  // oversized packets grow their slot instead of being rejected (the
+  // legal packet range spans 120x, so slots size on demand)
+  std::vector<uint8_t> big(4096, 0xAB);
+  assert(ring.push(big.data(), big.size()));
+  std::size_t len = 0;
+  const uint8_t* p = ring.front(&len);
+  assert(p != nullptr && len == big.size());
+  assert(std::memcmp(p, big.data(), big.size()) == 0);
+  ring.pop();
+
   std::printf("ring_test OK: %d packets in order\n", N);
   return 0;
 }

@@ -18,23 +18,32 @@ namespace gpu_sdr_tpu {
 
 class SpscRing {
  public:
+  // slot_bytes is the INITIAL per-slot capacity: a push larger than the
+  // current capacity grows that slot (amortized; only the producer
+  // touches an unpublished slot, so growth is SPSC-safe).  The legal
+  // packet range spans 50k..6M samples (MIN/MAX_USEFULL_BUFFER), a 120x
+  // spread -- preallocating the maximum for every slot would cost
+  // slots*48MB, so slots grow on demand instead of rejecting/dropping
+  // oversized packets.
   SpscRing(std::size_t slot_bytes, std::size_t n_slots)
       : slot_bytes_(slot_bytes),
         n_slots_(n_slots),
         lengths_(n_slots, 0),
-        storage_(slot_bytes * n_slots),
+        slots_(n_slots),
         head_(0),
-        tail_(0) {}
+        tail_(0) {
+    for (auto& s : slots_) s.resize(slot_bytes);
+  }
 
   std::size_t slot_bytes() const { return slot_bytes_; }
 
   // Producer: copy `len` bytes in; returns false when full (non-blocking).
   bool push(const uint8_t* data, std::size_t len) {
-    if (len > slot_bytes_) return false;
     const std::size_t head = head_.load(std::memory_order_relaxed);
     const std::size_t next = (head + 1) % n_slots_;
     if (next == tail_.load(std::memory_order_acquire)) return false;  // full
-    std::memcpy(&storage_[head * slot_bytes_], data, len);
+    if (slots_[head].size() < len) slots_[head].resize(len);
+    std::memcpy(slots_[head].data(), data, len);
     lengths_[head] = len;
     head_.store(next, std::memory_order_release);
     return true;
@@ -45,7 +54,7 @@ class SpscRing {
     const std::size_t tail = tail_.load(std::memory_order_relaxed);
     if (tail == head_.load(std::memory_order_acquire)) return nullptr;
     *len = lengths_[tail];
-    return &storage_[tail * slot_bytes_];
+    return slots_[tail].data();
   }
 
   // Consumer: release the slot returned by front().
@@ -69,7 +78,7 @@ class SpscRing {
   const std::size_t slot_bytes_;
   const std::size_t n_slots_;
   std::vector<std::size_t> lengths_;
-  std::vector<uint8_t> storage_;
+  std::vector<std::vector<uint8_t>> slots_;
   std::atomic<std::size_t> head_;  // producer writes
   std::atomic<std::size_t> tail_;  // consumer writes
 };

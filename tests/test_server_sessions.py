@@ -166,3 +166,32 @@ def test_ninety_measurements_no_degradation(tmp_chdir):
         stop.set()
         conn.close()
         srv.close()
+
+
+def test_server_dual_uses_lockstep_path(tmp_chdir, monkeypatch):
+    """A server-driven dual (A+B) measurement must dispatch the
+    lock-step DualFused program, not sequential frontends — TXRX must
+    hand channel=None through to run_measurement (the fast paths all
+    gate on `channel is None`)."""
+    import gpu_sdr_tpu.engine.dual as dual_mod
+    from gpu_sdr_tpu.params import ServerSettings
+    from gpu_sdr_tpu.server.txrx import TXRX
+
+    made = []
+    orig = dual_mod.DualFused.__init__
+
+    def spy(self, *a, **k):
+        made.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(dual_mod.DualFused, "__init__", spy)
+    cmd = _cmd(100_000)
+    b = _cmd(-200_000, fe="B")
+    cmd.B_TXRX = b.B_TXRX
+    cmd.B_RX2 = b.B_RX2
+    txrx = TXRX(ServerSettings(tcp_streaming=False, file_writing=True))
+    txrx.set(cmd)
+    txrx.start()
+    assert txrx.wait(timeout=120)
+    assert txrx.error is None
+    assert made, "dual measurement did not take the DualFused path"
