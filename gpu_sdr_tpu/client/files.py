@@ -321,7 +321,18 @@ class H5Sink(Sink):
         # `samples` raw samples (reference stops the UHD stream there)
         p = sub_params if sub_params is not None \
             else params.antenna(ant_name)
-        self._cap = None if trigger is not None else expected_data_len(p)
+        cap = expected_data_len(p)
+        w = p.wave_type[0] if p.wave_type else None
+        if w == WaveType.CHIRP and int(p.decim) >= 1:
+            # expected_data_len's CHIRP sizing (reference Param_to_H5:
+            # swipe_s/decim) covers ONE sweep — the initial dataset
+            # shape, not the acquisition total.  Capping there would
+            # silently discard every iteration after the first
+            # (Iterations>1 VNA scans); the iteration-aware total is
+            # samples // ppt.
+            from ..params import expected_samples_per_channel
+            cap = expected_samples_per_channel(p)
+        self._cap = None if trigger is not None else cap
 
     def on_packet(self, meta: PacketMeta, data: np.ndarray) -> None:
         """data: (rows, channels) complex64 -> stored as (channels, rows)."""
@@ -362,7 +373,8 @@ class H5Sink(Sink):
 
     def on_end(self) -> None:
         try:
-            self._group["data"].attrs.create("samples", self._written)
+            self._group[self.dataset].attrs.create("samples",
+                                                   self._written)
             if self.trigger is not None and "trigger" in self._group:
                 # persist trigger bookkeeping (the attrs the reference
                 # stores for amplitude_trigger, USRP_files.py:1017-1027)

@@ -106,17 +106,19 @@ def Dual_VNA(start_f_A, last_f_A, start_f_B, last_f_B, measure_t, n_points,
              tx_gain_A, tx_gain_B, Rate=None, decimation=True, RF_A=None,
              RF_B=None, output_filename=None, Device=None,
              Multitone_compensation_A=None, Multitone_compensation_B=None,
-             channel=None, **kwargs) -> str:
+             Iterations=1, channel=None, **kwargs) -> str:
     """VNA scan on both front ends (reference Dual_VNA,
     pyUSRP/USRP_VNA.py:54-272)."""
     cmd_a = compose_vna_command(
         start_f_A, last_f_A, measure_t, n_points, tx_gain_A, Rate=Rate,
         decimation=decimation, RF=RF_A, Front_end="A",
-        Multitone_compensation=Multitone_compensation_A, Device=Device or 0)
+        Multitone_compensation=Multitone_compensation_A,
+        Iterations=Iterations, Device=Device or 0)
     cmd_b = compose_vna_command(
         start_f_B, last_f_B, measure_t, n_points, tx_gain_B, Rate=Rate,
         decimation=decimation, RF=RF_B, Front_end="B",
-        Multitone_compensation=Multitone_compensation_B, Device=Device or 0)
+        Multitone_compensation=Multitone_compensation_B,
+        Iterations=Iterations, Device=Device or 0)
     cmd_a.B_TXRX = cmd_b.B_TXRX
     cmd_a.B_RX2 = cmd_b.B_RX2
     if output_filename is None:
@@ -163,7 +165,6 @@ def VNA_analysis(filename: str, usrp_number: int = 0) -> None:
     S21_axis = np.asarray([], dtype=np.complex128)
     lengths, calibration = [], []
     for fr, p in enumerate(info):
-        iterations = int((p.samples / p.rate) / p.chirp_t[0])
         calibration.append(
             (1.0 / ampls[fr]) * USRP_calibration /
             (10 ** ((USRP_power + gains[fr]) / 20.0)))
@@ -184,13 +185,26 @@ def VNA_analysis(filename: str, usrp_number: int = 0) -> None:
             f_tmp = np.linspace(p.freq[0], p.chirp_f[0], p.swipe_s[0],
                                 dtype=np.float64) + p.tone
 
-        usable = (len(data) // n_points) * n_points
-        iterations = max(1, usable // n_points)
-        s_tmp = np.mean(
-            np.split(data[:usable], iterations), axis=0) \
-            if iterations > 1 else data[:n_points]
         if p.decim == 0:
-            s_tmp = np.mean(np.split(s_tmp, p.swipe_s[0]), axis=1)
+            # undecimated (offline lock-in): the file holds raw
+            # demodulated samples — `length` per frequency point, one
+            # sweep = steps*length samples (reference VNA_analysis
+            # splits into (samples/rate)/chirp_t sweeps FIRST,
+            # USRP_VNA.py:768-778); average sweeps, then the
+            # samples-per-point within the sweep
+            from ..params import chirp_steps_and_length
+            steps, length = chirp_steps_and_length(p)
+            sweep = steps * length
+            nsweeps = max(1, len(data) // sweep)
+            s_tmp = data[:nsweeps * sweep].reshape(
+                nsweeps, sweep).mean(axis=0)
+            s_tmp = s_tmp.reshape(steps, length).mean(axis=1)
+        else:
+            usable = (len(data) // n_points) * n_points
+            iterations = max(1, usable // n_points)
+            s_tmp = np.mean(
+                np.split(data[:usable], iterations), axis=0) \
+                if iterations > 1 else data[:n_points]
         lengths.append(n_points)
         freq_axis = np.concatenate((freq_axis, f_tmp))
         S21_axis = np.concatenate((S21_axis, s_tmp))
@@ -212,6 +226,14 @@ def VNA_timestream_analysis(filename: str, usrp_number: int = 0) -> None:
     pyUSRP/USRP_VNA.py:448-559)."""
     filename = Ufiles.format_filename(filename)
     params = Ufiles.retrieve_params_from_file(filename, usrp_number)
+    tx_cal = []
+    for ant in ["A_TXRX", "B_TXRX"]:
+        p = params.antenna(ant)
+        if p.mode == AntMode.TX and p.wave_type and \
+                p.wave_type[0] == WaveType.CHIRP:
+            tx_cal.append((1.0 / p.ampl[0]) * USRP_calibration /
+                          (10 ** ((USRP_power + p.gain) / 20.0)))
+    freq_axes, trace_list, calibration = [], [], []
     for ant in ["A_RX2", "B_RX2"]:
         p = params.antenna(ant)
         if p.mode != AntMode.RX or not p.wave_type or \
@@ -225,14 +247,27 @@ def VNA_timestream_analysis(filename: str, usrp_number: int = 0) -> None:
             p.freq[0], p.chirp_f[0], p.swipe_s[0], p.rate)
         f_axis = np.linspace(p.freq[0], eff_final, n_points,
                              dtype=np.float64) + p.tone
-        with h5py.File(filename, "r+") as f:
-            name = f"VNA_dynamic_{int(usrp_number)}"
-            if name in f:
-                del f[name]
-            grp = f.create_group(name)
-            grp.create_dataset("frequency", data=f_axis, dtype=np.float64)
-            grp.create_dataset("S21", data=traces.astype(np.complex128))
+        freq_axes.append(f_axis)
+        trace_list.append(traces)
+        calibration.append(tx_cal[len(calibration)]
+                           if len(calibration) < len(tx_cal) else 1.0)
+    if not trace_list:
         return
+    # dual scans: each per-sweep trace spans both frontends' frequency
+    # axes side by side (reference concatenates the frontends,
+    # pyUSRP/USRP_VNA.py:530-537)
+    nsw = min(t.shape[0] for t in trace_list)
+    traces = np.concatenate([t[:nsw] for t in trace_list], axis=1)
+    f_axis = np.concatenate(freq_axes)
+    with h5py.File(filename, "r+") as f:
+        name = f"VNA_dynamic_{int(usrp_number)}"
+        if name in f:
+            del f[name]
+        grp = f.create_group(name)
+        grp.attrs.create("calibration", calibration)
+        grp.attrs.create("scan_lengths", [len(a) for a in freq_axes])
+        grp.create_dataset("frequency", data=f_axis, dtype=np.float64)
+        grp.create_dataset("S21", data=traces.astype(np.complex128))
 
 
 def is_VNA_analyzed(filename: str, usrp_number: int = 0) -> bool:

@@ -91,7 +91,7 @@ def run_chunked(step, init_state, n_exec: int, n_blocks: int,
 def run_pipeline_mixed(mdemod, source: Source,
                        sinks_per_group: Sequence[Sequence[Sink]],
                        n_blocks: Optional[int] = None, usrp_number: int = 0,
-                       front_end: str = "A",
+                       front_end: str = "A", depth: int = 2,
                        feed_depth: int = 2) -> PipelineResult:
     """Stream blocks through a MixedDemodulator: every block feeds all
     wave-type groups in one jitted step; group g's packets drain to
@@ -136,7 +136,7 @@ def run_pipeline_mixed(mdemod, source: Source,
         for x, errs in stream:
             state, ys = mdemod.step(state, x)
             inflight.append((ys, errs))
-            if len(inflight) > 2:
+            if len(inflight) > depth:
                 drain_one()
         while inflight:
             drain_one()
@@ -218,6 +218,8 @@ def run_pipeline(demod: Demodulator, source: Source,
         finally:
             for s in sinks:
                 s.on_end()
-    return PipelineResult(n_blocks=nb, rows=rows, channels=demod.n_channels,
+    # account what was actually emitted (a source may under-deliver),
+    # like run_chunked does
+    return PipelineResult(n_blocks=pkt, rows=rows, channels=demod.n_channels,
                           elapsed_s=elapsed,
-                          samples_in=nb * plan.block_len)
+                          samples_in=pkt * plan.block_len)

@@ -69,13 +69,20 @@ class ReplaySource(Source):
                 pos += block_len
             else:
                 blk = np.zeros(block_len, dtype=np.complex64)
-                take = n - pos
+                take = max(0, n - pos)
                 if take > 0:
                     blk[:take] = self.data[pos:]
-                pos = (pos + block_len) % n if self.loop else n
                 if self.loop:
-                    rem = block_len - take
-                    blk[take:] = self.data[:rem]
+                    # wrap as many times as needed: the recording may be
+                    # shorter than one block
+                    filled = take
+                    while filled < block_len:
+                        rem = min(n, block_len - filled)
+                        blk[filled:filled + rem] = self.data[:rem]
+                        filled += rem
+                    pos = (pos + block_len) % n
+                else:
+                    pos = n
             yield blk
 
 

@@ -125,3 +125,53 @@ def test_vna_calibration_attr(tmp_chdir):
     _, s21_raw = Uvna.get_VNA_data(fn, calibrated=False)
     expected = Ufiles.USRP_calibration / (10 ** ((Ufiles.USRP_power + 10) / 20))
     assert np.allclose(s21_cal, s21_raw * expected)
+
+
+def test_vna_undecimated_analysis(tmp_chdir):
+    """decimation=False: raw samples average per sweep, then per
+    frequency point (regression: the old path split the raw stream at
+    the wrong stride, mixing frequency points, and its final per-point
+    average was an identity).  A delay channel makes S21's phase vary
+    with frequency, so stride-mixing would smear it — an ideal loopback
+    (flat all-ones S21) cannot detect the bug."""
+    d = 40
+    fn = Uvna.Single_VNA(start_f=-100_000, last_f=100_000, measure_t=0.05,
+                         n_points=250, tx_gain=0, Rate=int(1e6), RF=0,
+                         decimation=False, channel=DelayChannel(d),
+                         output_filename="vna_undecim")
+    Uvna.VNA_analysis(fn)
+    freq, s21 = Uvna.get_VNA_data(fn, calibrated=False)
+    assert len(freq) == 250
+    # skip the first points (the delayed sweep's warmup transient)
+    assert np.allclose(np.abs(s21[5:]), 1.0, atol=2e-2)
+    # phase ramp = -2*pi*f*d/rate across the band
+    want = np.angle(np.exp(-2j * np.pi * freq[5:] * d / 1e6))
+    got = np.angle(s21[5:])
+    err = np.angle(np.exp(1j * (got - want)))
+    assert np.abs(err).max() < 0.05, np.abs(err).max()
+
+
+def test_vna_iterations_reach_the_file(tmp_chdir):
+    """Iterations=4 must land 4*n_points rows in the H5 dataset
+    (regression: the sink capped at one sweep, silently discarding
+    every later iteration)."""
+    fn = Uvna.Single_VNA(start_f=-100_000, last_f=100_000, measure_t=0.05,
+                         n_points=250, tx_gain=0, Rate=int(1e6), RF=0,
+                         Iterations=4, output_filename="vna_iter_rows")
+    data = Ufiles.openH5file(fn)
+    assert data.shape[1] == 4 * 250, data.shape
+
+
+def test_replay_source_short_file_loops(tmp_path):
+    """A looped recording shorter than one block wraps as many times as
+    needed (regression: single-wrap copy crashed on short files)."""
+    import numpy as np
+    from gpu_sdr_tpu.engine.sources import ReplaySource
+    rec = (np.arange(300) + 1j).astype(np.complex64)
+    p = str(tmp_path / "short.npy")
+    np.save(p, rec)
+    src = ReplaySource(p, loop=True)
+    blks = list(src.blocks(1000, 2))
+    want = np.tile(rec, 7)[:2000]
+    got = np.concatenate(blks)
+    assert np.array_equal(got, want)
