@@ -42,7 +42,7 @@ def _tx_rx_common(tones, rate, RF, amplitudes, tx_gain, delay, samples):
 def get_NODSP_tones(tones, measure_t, rate, amplitudes=None, RF=None,
                     tx_gain=0, output_filename=None, Front_end=None,
                     Device=None, delay=None, channel=None, source=None,
-                    **kwargs) -> str:
+                    push_queue=None, **kwargs) -> str:
     """Raw IQ recording with a tone comb on TX (reference get_NODSP_tones,
     USRP_full_spec.py:50-210)."""
     from ..measure import run_measurement
@@ -66,13 +66,15 @@ def get_NODSP_tones(tones, measure_t, rate, amplitudes=None, RF=None,
     if output_filename is None:
         output_filename = "USRP_Noise_" + _timestamp()
     return run_measurement(cmd, output_filename, channel=channel,
-                           source=source, meas_type="Raw_data", **kwargs)
+                           source=source, meas_type="Raw_data",
+                           extra_sinks=_push_sinks(push_queue), **kwargs)
 
 
 def Get_full_spec(tones, channels, measure_t, rate, RF=None, Front_end=None,
                   amplitudes=None, tx_gain=0, decimation=None, pf_average=4,
                   output_filename=None, Device=None, delay=None,
-                  channel=None, source=None, **kwargs) -> str:
+                  channel=None, source=None, push_queue=None,
+                  **kwargs) -> str:
     """Full-spectrum PFB acquisition (reference Get_full_spec,
     USRP_full_spec.py:212-399): every PFB bin is recorded (NOISE wave
     type), optionally frame-averaged by `decimation`."""
@@ -83,6 +85,12 @@ def Get_full_spec(tones, channels, measure_t, rate, RF=None, Front_end=None,
     samples = int(rate * measure_t)
     tx, tones, RF, delay = _tx_rx_common(tones, rate, RF, amplitudes,
                                          tx_gain, delay, samples)
+    if np.max(np.abs(tones)) > rate / 2:
+        # reference check (USRP_full_spec.py:283-285): an out-of-band
+        # tone would alias into the spectrogram instead of erroring
+        raise ValueError(
+            "Cannot acquire tones outside the Nyquist band "
+            f"(max |tone| {np.max(np.abs(tones)):.0f} > rate/2)")
     min_fft = pfb_bins_for_tones(tones, rate)
     final_fft_bins = max(int(channels), min_fft, 10)
     if decimation in (0, 1):
@@ -103,4 +111,15 @@ def Get_full_spec(tones, channels, measure_t, rate, RF=None, Front_end=None,
     if output_filename is None:
         output_filename = "USRP_PFB_" + _timestamp()
     return run_measurement(cmd, output_filename, channel=channel,
-                           source=source, meas_type="PFB", **kwargs)
+                           source=source, meas_type="PFB",
+                           extra_sinks=_push_sinks(push_queue), **kwargs)
+
+
+def _push_sinks(push_queue):
+    """Live-consumer sink for the reference's push_queue kwarg
+    (USRP_full_spec.py:69/84): (meta, data) per packet — previously the
+    kwarg fell into the H5 attribute tags and crashed params_to_h5."""
+    if push_queue is None:
+        return []
+    from ..engine.sinks import CallbackSink
+    return [CallbackSink(lambda meta, data: push_queue.put((meta, data)))]

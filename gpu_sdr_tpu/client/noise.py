@@ -238,6 +238,14 @@ def effective_sampling_rate(p: AntennaParams) -> float:
     USRP_noise.py:740-755)."""
     if p.wave_type[0] == WaveType.DIRECT:
         return float(p.rate) / p.decim if p.decim > 0 else float(p.rate)
+    if int(p.fft_tones) <= 0:
+        # raw (NODSP) file: no channelization — the reference warns and
+        # degrades to rate=1 (USRP_noise.py:743-750) so batch analysis
+        # over mixed file sets survives
+        import warnings
+        warnings.warn("noise analysis on a raw (no fft_tones) file: "
+                      "using sampling rate 1 Hz like the reference")
+        return 1.0
     r = float(p.rate) / p.fft_tones
     if p.decim > 1:
         r /= float(p.decim)
@@ -287,6 +295,10 @@ def calculate_noise(filename, welch=None, dbc=False, rotate=True,
         nperseg = L0 if welch is None else int(L0 / welch)
         if clip_samples:
             proc = proc[:, clip_samples:proc.shape[1] - clip_samples]
+        # clamp like scipy does: an nperseg beyond the clipped length
+        # would gather past the array end (JAX clamps indices silently,
+        # repeating the last sample instead of erroring)
+        nperseg = min(nperseg, proc.shape[1])
         f, p_re = batched_welch(proc.real, sampling_rate, nperseg)
         _, p_im = batched_welch(proc.imag, sampling_rate, nperseg)
         results = [(f, _db10(p_re[i]), _db10(p_im[i]))

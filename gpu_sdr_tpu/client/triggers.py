@@ -65,6 +65,11 @@ class deriv_test(trigger_template):
                 metadata["length"] = len(self.stored_data)
                 self.stored_data = np.array([], dtype=np.complex64)
                 return ret, metadata
+            # rejected: clear the window like the reference
+            # (USRP_triggers.py:93-99) — keeping it would both grow the
+            # buffer without bound and replay rejected data on the next
+            # accepted window
+            self.stored_data = np.array([], dtype=np.complex64)
         metadata["length"] = 0
         return np.array([], dtype=np.complex64), metadata
 
@@ -162,14 +167,20 @@ class amplitude_trigger(trigger_template):
                 if h - keep[-1] >= 0.001 * self.rate:
                     keep.append(h)
             hit_idx = np.asarray(keep)
-        n_glitch = len(hit_idx)
-        self.nglitch.append(n_glitch)
-
         num = int(self.rate * self.window)       # samples before glitch
+        # count only STORABLE glitches: hits within window_t of the
+        # accumulation edges are skipped below, and the persisted
+        # nglitch attr must pair with the (2 noise + nglitch) stored
+        # window layout (the reference decrements per skipped hit,
+        # USRP_triggers.py:231-236)
+        hit_idx = [int(i) for i in hit_idx
+                   if num <= i < n_samples - 3 * num]
+        self.nglitch.append(len(hit_idx))
+
         rng = np.random.default_rng(self.index)
         lo_r, hi_r = num, max(num + 1, n_samples - 3 * num)
         rand = rng.integers(lo_r, hi_r, size=2)
-        hit_idx = np.concatenate((rand, hit_idx))
+        hit_idx = np.concatenate((rand, np.asarray(hit_idx, dtype=int)))
 
         pieces = []
         for i in hit_idx:

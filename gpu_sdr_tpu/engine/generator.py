@@ -63,7 +63,13 @@ def _apply_burst(gen: Generator, p: AntennaParams) -> Generator:
     def step(state):
         inner, off = state
         inner, x = inner_step(inner)
-        t = (off + jnp.arange(L, dtype=jnp.int32)) % jnp.int32(period)
+        # overflow-safe position-in-period: off + arange(L) could exceed
+        # int32 when period is within L of 2**31, so wrap via a shifted
+        # difference (off - period is in (-period, 0]; adding a value
+        # < period keeps everything inside int32)
+        a = jnp.arange(L, dtype=jnp.int32) % jnp.int32(period)
+        t = a + (off - jnp.int32(period))
+        t = jnp.where(t < 0, t + jnp.int32(period), t)
         mask = (t < on).astype(x.re.dtype)
         from ..ops.cplx import C
         x = C(x.re * mask, x.im * mask)

@@ -62,13 +62,16 @@ class VelmexStage:
         self.steps_per_mm = steps_per_mm
         self.homed = False
         self._pos = (0.0, 0.0)
-        self._cmd("F")           # on-line mode
-        self._cmd("C")           # clear program
+        self._cmd("F", wait=False)   # on-line mode
+        self._cmd("C", wait=False)   # clear program
 
     def _cmd(self, s: str, wait: bool = True) -> None:
+        """Send one command.  The VXM emits '^' only when a RUN ('R')
+        completes — setup commands like F/C never answer, so only run
+        commands wait (the reference driver writes F/C blind,
+        scripts/beam_mapper/velmex.py:62-63)."""
         self._ser.write((s + "\r").encode())
         if wait:
-            # controller echoes '^' when the move completes
             t0 = time.monotonic()
             while True:
                 b = self._ser.read(1)
@@ -78,19 +81,23 @@ class VelmexStage:
                     raise StageError(f"stage timeout on command {s!r}")
 
     def home(self) -> None:
-        self._cmd("C")
+        self._cmd("C", wait=False)
         self._cmd("I1M-0,I2M-0,R")
         self._pos = (0.0, 0.0)
         self.homed = True
 
     def move_to(self, x_mm: float, y_mm: float) -> None:
+        """Absolute positioning (reference moveTo's 'IA<m>M<dest>',
+        scripts/beam_mapper/velmex.py:74-79): relative rounded steps
+        would accumulate up to half a step of error per grid point over
+        a raster."""
         if not self.homed:
             raise StageError("home() the stage before moving")
-        dx = int(round((x_mm - self._pos[0]) * self.steps_per_mm))
-        dy = int(round((y_mm - self._pos[1]) * self.steps_per_mm))
-        self._cmd("C")
-        self._cmd(f"I1M{dx},I2M{dy},R")
-        self._pos = (x_mm, y_mm)
+        sx = int(round(x_mm * self.steps_per_mm))
+        sy = int(round(y_mm * self.steps_per_mm))
+        self._cmd("C", wait=False)
+        self._cmd(f"IA1M{sx},IA2M{sy},R")
+        self._pos = (sx / self.steps_per_mm, sy / self.steps_per_mm)
 
     def position(self) -> Tuple[float, float]:
         return self._pos

@@ -51,19 +51,22 @@ def test_sharded_dual_channel_measurement(tmp_chdir):
 
 def test_sharded_with_trigger(tmp_chdir):
     """Sharded demodulation feeding the amplitude trigger: only windows
-    around an injected glitch get recorded."""
-    from gpu_sdr_tpu.engine.channel import ChainChannel, IdealChannel
+    around an injected glitch get recorded, and nglitch counts ONLY the
+    stored glitch (the FIR warm-up transient at rows 0-1 is within
+    window_t of the edge and must be neither stored nor counted)."""
 
-    class Spike(IdealChannel):
-        def __init__(self):
-            self.n = 0
+    class SpikedTrigger(Utrig.amplitude_trigger):
+        """Inject one amplitude glitch into the demodulated stream on
+        its way into the trigger (the loopback itself is clean)."""
 
-        def __call__(self, block):
-            block = np.array(block)
-            self.n += 1
-            if self.n == 2:          # one glitch in the second block
-                block[50_000:50_500] *= 5.0
-            return block
+        def trigger(self, data, metadata):
+            self._pkts = getattr(self, "_pkts", 0) + 1
+            if self._pkts == 2:
+                n_chan = metadata["channels"]
+                data = np.array(data)
+                # rows 500-505 of this packet -> global row ~1500
+                data[500 * n_chan:505 * n_chan] *= 5.0
+            return super().trigger(data, metadata)
 
     mesh = make_mesh((2, 4), ("time", "channels"))
     rate = 1_000_000
@@ -72,9 +75,9 @@ def test_sharded_with_trigger(tmp_chdir):
     cmd.B_RX2.mode = AntMode.OFF
     out_rate = rate / 100
     # 0.4 s of data at out_rate=10 kS/s -> fire once at 0.3 s accumulated
-    trig = Utrig.amplitude_trigger(sample_rate=out_rate, threshold=6,
-                                   channels=[0], accumulation_t=0.3,
-                                   window_t=0.002)
+    trig = SpikedTrigger(sample_rate=out_rate, threshold=6,
+                         channels=[0], accumulation_t=0.3,
+                         window_t=0.002)
     fn = run_measurement(cmd, "config5_trig", mesh=mesh, trigger=trig)
     with Ufiles.bound_open(fn) as f:
         ds = f["raw_data0"]["A_RX2"]["data"]
@@ -83,3 +86,6 @@ def test_sharded_with_trigger(tmp_chdir):
     # samples than the full 4000-row stream
     assert 0 < written < 1000, written
     assert sum(trig.nglitch) >= 1
+    # every counted glitch has a stored window (2 noise + nglitch)
+    win = int(4 * 0.002 * out_rate)
+    assert written >= (2 + sum(trig.nglitch)) * win - 1

@@ -86,11 +86,11 @@ def test_hostfeed_overlaps_feed_and_compute():
 
     # pace each block at ~2x the measured compute time per block so the
     # feed clearly dominates: pipelined wall ~ feed time alone, serial
-    # ~ 1.5x that.  Timing under load flakes, so take the best of two
+    # ~ 1.5x that.  Timing under load flakes, so take the best of four
     # attempts before judging.
     pace = max(0.05, 2.0 * t_comp / n_blocks)
     best_ratio = np.inf
-    for _ in range(2):
+    for _ in range(4):
         src = PacedSource(data, pace)
         sink = MemorySink()
         t0 = time.perf_counter()
