@@ -45,8 +45,11 @@ class DelayChannel(Channel):
     def __call__(self, block):
         if self.delay_samples == 0:
             return block
-        out = np.concatenate([self._hist, block[:-self.delay_samples]])
-        self._hist = block[-self.delay_samples:].copy()
+        # works for any delay, including delay > block length: the
+        # history holds the last `delay` samples of the combined stream
+        both = np.concatenate([self._hist, block])
+        out = both[:len(block)]
+        self._hist = both[len(block):].copy()
         return out.astype(np.complex64)
 
 
@@ -105,13 +108,18 @@ class FrequencyResponseChannel(Channel):
 
     def __call__(self, block):
         x = np.asarray(block, np.complex128)
-        y_full = self._fftconvolve(x, self._h)
         L = len(x)
-        y = y_full[:L]
+        # overlap-add valid for ANY block length (including L < ntap-1):
+        # accumulate the carry into the full convolution, emit L samples,
+        # carry the rest
+        y_full = self._fftconvolve(x, self._h)
         nc = len(self._carry)
-        y[:nc] += self._carry
+        if nc > len(y_full):
+            y_full = np.concatenate(
+                [y_full, np.zeros(nc - len(y_full), np.complex128)])
+        y_full[:nc] += self._carry
         self._carry = y_full[L:].copy()
-        return y.astype(np.complex64)
+        return y_full[:L].astype(np.complex64)
 
 
 def make_resonator_channel(rate: float, resonators: Sequence[dict],

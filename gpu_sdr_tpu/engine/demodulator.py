@@ -244,7 +244,10 @@ def _build_tones_sharded(p: AntennaParams, plan: BlockPlan,
     gather collective)."""
     from ..parallel.sharded_pfb import ShardedPFB
     nfft = int(p.fft_tones)
-    plan = _mesh_plan(plan, mesh, max(1, int(p.decim)))
+    # plan.stride (mode_stride) is already nfft*decim, which makes each
+    # time shard's frame count divisible by decim — an extra decim
+    # factor here would square it and force absurd block lengths
+    plan = _mesh_plan(plan, mesh, 1)
     bins = pfb_ops.tone_bins(p.freq, p.rate, nfft)
     cfg = pfb_ops.PFBConfig(nfft=nfft, avg=int(p.pf_average),
                             rate=int(p.rate))
@@ -270,6 +273,10 @@ def _build_chirp_sharded(p: AntennaParams, plan: BlockPlan,
     """CHIRP lock-in over a time mesh (no halo needed: the mix-down is
     elementwise and lock-in segments are shard-local)."""
     from ..parallel.sharded_chirp import ShardedChirpLockin
+    if sum(1 for x in p.wave_type if x == WaveType.CHIRP) > 1:
+        raise NotImplementedError(
+            "Multiple chirp demodulation not implemented "
+            "(matches reference)")
     if p.decim <= 0:
         raise NotImplementedError(
             "sharded CHIRP requires lock-in decimation (decim >= 1)")
@@ -432,15 +439,10 @@ def _build_mixed(p: AntennaParams, samples, mesh=None) -> MixedDemodulator:
     # time shards at every group's stride (and the sharded TONES path's
     # extra per-shard decim-grouping constraint, cf. _build_tones_sharded)
     q = 1
-    qc = 1
     t_shards = mesh.shape.get("time", 1) if mesh is not None else 1
     for w, _idx, sub in subs:
-        sg = mode_stride(sub)
-        q = math.lcm(q, sg)
-        extra = max(1, int(sub.decim)) if (
-            mesh is not None and w == WaveType.TONES) else 1
-        qc = math.lcm(qc, sg * extra)
-    qc *= t_shards
+        q = math.lcm(q, mode_stride(sub))
+    qc = q * t_shards
     from ..params import DEFAULT_BUFFER_LEN
     block = _commensurate(p.buffer_len or DEFAULT_BUFFER_LEN, qc)
     total = int(samples if samples is not None else p.samples)

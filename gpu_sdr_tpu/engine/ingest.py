@@ -94,6 +94,15 @@ class HostFeed:
     def device_blocks(self, block_len: int, n_blocks: int):
         """Yield up to n_blocks (device-resident C block, errors) pairs."""
         self._stop.clear()
+        # fresh run: drop anything a previous (early-exited or failed)
+        # run left behind — stale blocks would head the new stream and a
+        # stale error would be re-raised at the end of a clean run
+        self._err = None
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
         self._thread = threading.Thread(
             target=self._feed, args=(block_len, n_blocks),
             name="host-feed", daemon=True)

@@ -125,24 +125,14 @@ def _pick_rows(nb: int, Ct: int, Cp: int, f: int) -> int:
     """Tile height: divisor of nb, multiple of 8, VMEM-capped (P tile +
     splits + output/ramp rows, double-buffered, after the resident G
     constant)."""
+    from .pallas_ddc import pick_tile
     Ctp = -(-Ct // 128) * 128
     Cpp = -(-Cp // 128) * 128
     g_bytes = 6 * f * Ctp * Cpp * 2
     bytes_per_row = 28 * Ctp + 32 * Cpp
-    avail = 10 * 2 ** 20 - g_bytes
-    cap = avail // max(bytes_per_row, 1)
-    if cap < 8:
-        return 0          # resident G + minimal tile overflow VMEM:
-                          # callers' ok-gate falls back to the scan path
-    cands = []
-    for d in range(1, int(np.sqrt(nb)) + 1):
-        if nb % d == 0:
-            for c in (d, nb // d):
-                if c <= cap and c % 8 == 0:
-                    cands.append(c)
-    if not cands:
-        return 0
-    return max(cands, key=lambda c: ((c % 32 == 0), (c % 16 == 0), c))
+    # cap < 8 (resident G + minimal tile overflow VMEM) -> 0: callers'
+    # ok-gate falls back to the scan path
+    return pick_tile(nb, (10 * 2 ** 20 - g_bytes) // max(bytes_per_row, 1))
 
 
 @dataclasses.dataclass

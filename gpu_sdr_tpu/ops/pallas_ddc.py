@@ -70,6 +70,30 @@ def split_dot_presplit(a_hi, a_lo, b_hi, b_lo):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def pick_tile(n: int, cap: int, prefer_align: bool = True) -> int:
+    """Shared tile-size search: the largest divisor of `n` that is a
+    multiple of 8 (Mosaic sublane granularity) and <= `cap` (the
+    caller's VMEM budget), or 0 when none exists — callers' ok-gates
+    then fall back instead of letting Mosaic crash on an over-budget
+    tile.  With prefer_align, 32- then 16-aligned candidates win (the
+    measured sweet spot for streamed row-major tiles,
+    tools/perf_bt_sweep.py); column-major tiles (ReplayDDCT) measured
+    best with the plain maximum."""
+    if cap < 8:
+        return 0
+    cands = []
+    for d in range(1, int(np.sqrt(n)) + 1):
+        if n % d == 0:
+            for c in (d, n // d):
+                if c <= cap and c % 8 == 0:
+                    cands.append(c)
+    if not cands:
+        return 0
+    if prefer_align:
+        return max(cands, key=lambda c: ((c % 32 == 0), (c % 16 == 0), c))
+    return max(cands)
+
+
 def np_hilo(a):
     """Host-side bf16 hi/lo decomposition matching `hilo_split`
     (hi = bf16(a), lo = bf16(a - hi)) for shipping pre-split constants."""
@@ -157,18 +181,7 @@ def _pick_rows(nb: int, M: int, Cn: int) -> int:
     # x (f32, re+im, double-buffered) + ext/split temporaries (f32 + bf16)
     # + y and ramp tiles (f32, re+im, double-buffered)
     bytes_per_row = 16 * Mp + 24 * Mp + 32 * Cp
-    cap = (9 * 2 ** 20) // max(bytes_per_row, 1)
-    if cap < 8:
-        return 0          # even the minimal tile overflows VMEM
-    cands = []
-    for d in range(1, int(np.sqrt(nb)) + 1):
-        if nb % d == 0:
-            for c in (d, nb // d):
-                if c <= cap and c % 8 == 0:
-                    cands.append(c)
-    if not cands:
-        return 0
-    return max(cands, key=lambda c: ((c % 32 == 0), (c % 16 == 0), c))
+    return pick_tile(nb, (9 * 2 ** 20) // max(bytes_per_row, 1))
 
 
 def _pallas_ddc(hmod: C, hsum: jax.Array, ramp: C, rot: C, hist: C, x: C,

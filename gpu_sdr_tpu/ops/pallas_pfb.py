@@ -75,16 +75,8 @@ def _pick_bt(nframes: int, nfft: int = 1000) -> int:
     32-aligned tiles stream best (bt=160: 126 us/blk vs bt=200: 143),
     so prefer the largest 32-aligned candidate, then 16-, then 8-aligned.
     Returns 0 when no tiling exists (callers fall back to XLA)."""
-    cap = max(8, (12 * 2 ** 20) // (32 * max(nfft, 1)))
-    cands = []
-    for d in range(1, int(np.sqrt(nframes)) + 1):
-        if nframes % d == 0:
-            for c in (d, nframes // d):
-                if c <= cap and c % 8 == 0:
-                    cands.append(c)
-    if not cands:
-        return 0
-    return max(cands, key=lambda c: ((c % 32 == 0), (c % 16 == 0), c))
+    from .pallas_ddc import pick_tile
+    return pick_tile(nframes, (12 * 2 ** 20) // (32 * max(nfft, 1)))
 
 
 def pallas_presum(window2d: jax.Array, spare: C, X: C,

@@ -292,21 +292,12 @@ def _pick_rows_t(nb: int, M: int, CpP: int) -> int:
     Ms = -(-M // 8) * 8
     bytes_per_col = 16 * Ms + 12 * Ms + 12 * Ms + 16 * CpP + 32
     cap = (9 * 2 ** 20) // max(bytes_per_col, 1) - _TLEAD
-    if cap < 8:
-        return 0          # even the minimal tile overflows VMEM:
-                          # make_replay_ddc falls back to row-major
-    cands = []
-    for d in range(1, int(np.sqrt(nb)) + 1):
-        if nb % d == 0:
-            for c in (d, nb // d):
-                if c <= cap and c % 8 == 0:
-                    cands.append(c)
-    if not cands:
-        return 0
-    # largest wins outright: with columns on lanes the 32-align sweet
-    # spot of the row-major streamed tiles does not apply (measured
-    # R=2000 ~9% over R=1600 at the config-1 shape, tools sweep)
-    return max(cands)
+    # largest divisor wins outright: with columns on lanes the 32-align
+    # sweet spot of the row-major streamed tiles does not apply
+    # (measured R=2000 ~9% over R=1600 at the config-1 shape); cap < 8
+    # -> 0 and make_replay_ddc falls back to row-major
+    from .pallas_ddc import pick_tile
+    return pick_tile(nb, cap, prefer_align=False)
 
 
 class ReplayDDCT(ReplayDDC):

@@ -51,7 +51,15 @@ def welch_psd(x: jax.Array, fs: float, nperseg: int,
     Returns (freqs (nf,), psd (..., nf)) with nf = nperseg//2+1.
     """
     N = x.shape[-1]
-    step = nperseg // 2
+    # scipy-style clamp: a segment longer than the data would gather
+    # past the end (JAX clamps indices silently, repeating the last
+    # sample into the tail of the segment)
+    if nperseg > N:
+        import warnings
+        warnings.warn(f"nperseg={nperseg} > data length {N}; "
+                      f"using nperseg={N}")
+        nperseg = N
+    step = max(1, nperseg // 2)
     nseg = max(1, (N - nperseg) // step + 1)
     idx = (jnp.arange(nseg) * step)[:, None] + jnp.arange(nperseg)[None, :]
     segs = x[..., idx]                          # (..., nseg, nperseg)

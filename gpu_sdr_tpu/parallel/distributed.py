@@ -56,4 +56,10 @@ def host_local_block(x_global: np.ndarray, mesh,
     if not owned:
         return np.zeros(0, dtype=x_global.dtype), 0
     start, stop = owned[0], owned[-1] + 1
+    if owned != list(range(start, stop)):
+        raise ValueError(
+            f"this host's '{axis}' shards {owned} are not contiguous in "
+            f"mesh order; lay the mesh out so each host owns a "
+            f"contiguous time span (e.g. make_mesh with the default "
+            f"device order)")
     return x_global[start * seg: stop * seg], start * seg

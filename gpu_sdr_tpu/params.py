@@ -126,10 +126,11 @@ class AntennaParams:
             return r
         if w == WaveType.CHIRP:
             if self.decim > 0:
-                # lock-in averaging over ppt = chirp_len/steps * decim samples
-                steps = self.swipe_s[0]
-                ppt = int(self.chirp_t[0] * self.rate / steps) * self.decim
-                return self.rate / max(ppt, 1)
+                # lock-in averaging over ppt = step_length * decim samples;
+                # use the canonical resolver (handles missing/zero swipe_s
+                # and the length >= 1 clamp)
+                _steps, length = chirp_steps_and_length(self)
+                return self.rate / max(length * int(self.decim), 1)
             return float(self.rate)
         return float(self.rate)
 
@@ -242,6 +243,10 @@ class AntennaParams:
             self.buffer_len = DEFAULT_BUFFER_LEN
 
         for i, w in enumerate(self.wave_type):
+            # freq descriptors are REQUIRED only for CHIRP/TONES, like
+            # the reference (chk_param, cpp/USRP_JSON_interpreter.cpp:
+            # 289-300); a DIRECT channel without a freq entry is the
+            # reference's own accepted (if odd) degenerate case
             if w in (WaveType.CHIRP, WaveType.TONES):
                 if i >= len(self.freq):
                     raise ParamError(

@@ -42,3 +42,23 @@ def test_sharded_noise_decim_matches_single():
     assert n > 0
     snr = golden.snr_db(b_[:n], a[:n])
     assert snr > 90, snr
+
+
+def test_sharded_tones_block_not_inflated():
+    """The sharded TONES plan must not square the decim factor into the
+    block constraint (regression: nfft=1000, decim=100 under a T=2 mesh
+    demanded 20M-sample blocks instead of ~buffer_len)."""
+    from gpu_sdr_tpu.engine import make_demodulator
+    from gpu_sdr_tpu.parallel import make_mesh
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+    mesh = make_mesh((2, 4), ("time", "channels"))
+    rate = 100_000_000
+    bin_hz = rate // 1000
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=1_000_000,
+                       samples=2_000_000, fft_tones=1000, pf_average=4,
+                       decim=100, freq=[5 * bin_hz, -40 * bin_hz],
+                       wave_type=[WaveType.TONES] * 2)
+    d = make_demodulator(rx, mesh=mesh)
+    q = 1000 * 100 * 2           # nfft * decim * time shards
+    assert d.plan.block_len % q == 0
+    assert d.plan.block_len <= 1_200_000, d.plan.block_len
