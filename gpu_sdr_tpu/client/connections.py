@@ -63,26 +63,47 @@ class Connection:
         self.async_send(params.to_json())
 
     # ------------------------------------------------------------------
+    def _recv_mid(self, sock, n: int):
+        """recv_exact that never abandons a message whose header is
+        already consumed: a zero-byte timeout here would desync the
+        framing (the next read would parse payload bytes as a header)."""
+        while not self._stop.is_set():
+            try:
+                return wire.recv_exact(sock, n, stop=self._stop.is_set)
+            except socket.timeout:
+                continue
+        return None
+
     def _async_rx(self):
         """Receive framed JSON replies; EOM/nack set the end flags
         (reference Async_thread + Decode_Async_payload,
         pyUSRP/USRP_connections.py:446-481)."""
-        while not self._stop.is_set():
-            try:
-                raw = wire.recv_exact(self.async_sock, 8)
-                if raw is None:
-                    break
-                length = wire.decode_async_header(raw)
-                if length <= 0:
+        try:
+            while not self._stop.is_set():
+                try:
+                    raw = wire.recv_exact(self.async_sock, 8)
+                    if raw is None:
+                        break
+                    length = wire.decode_async_header(raw)
+                    if length <= 0:
+                        continue
+                    payload = self._recv_mid(self.async_sock, length)
+                    if payload is None:
+                        break
+                    self._handle_async(payload.decode())
+                except socket.timeout:
                     continue
-                payload = wire.recv_exact(self.async_sock, length)
-                if payload is None:
+                except OSError:
                     break
-                self._handle_async(payload.decode())
-            except socket.timeout:
-                continue
-            except OSError:
-                break
+        finally:
+            if not self._stop.is_set():
+                # server vanished: release any waiter (Packets_to_file
+                # would otherwise spin forever).  Only an EOF arriving
+                # BEFORE the EOM is an error — a one-shot server exiting
+                # right after its EOM ack is a clean shutdown.
+                if not self.end_of_measure.is_set():
+                    self.error_status.set()
+                self.end_of_measure.set()
 
     def _handle_async(self, message: str):
         try:
@@ -114,22 +135,29 @@ class Connection:
     def _sync_rx(self):
         """Receive data packets into the queue (reference Sync_RX process,
         pyUSRP/USRP_connections.py:814-1013)."""
-        while not self._stop.is_set():
-            try:
-                raw = wire.recv_exact(self.sync_sock, wire.HEADER_SIZE)
-                if raw is None:
+        try:
+            while not self._stop.is_set():
+                try:
+                    raw = wire.recv_exact(self.sync_sock, wire.HEADER_SIZE)
+                    if raw is None:
+                        break
+                    meta = wire.decode_sync_header(raw)
+                    n = meta["length"]
+                    payload = self._recv_mid(self.sync_sock, 8 * n)
+                    if payload is None:
+                        break
+                    data = np.frombuffer(payload, dtype=np.complex64,
+                                         count=n)
+                    self.data_queue.put((meta, data))
+                except socket.timeout:
+                    continue
+                except OSError:
                     break
-                meta = wire.decode_sync_header(raw)
-                n = meta["length"]
-                payload = wire.recv_exact(self.sync_sock, 8 * n)
-                if payload is None:
-                    break
-                data = np.frombuffer(payload, dtype=np.complex64, count=n)
-                self.data_queue.put((meta, data))
-            except socket.timeout:
-                continue
-            except OSError:
-                break
+        finally:
+            if not self._stop.is_set():
+                if not self.end_of_measure.is_set():
+                    self.error_status.set()
+                self.end_of_measure.set()
 
     def close(self):
         self._stop.set()
@@ -167,30 +195,55 @@ def Packets_to_file(conn: Connection, parameters: UsrpParams,
                            trigger=trigger, meas_type=meas_type, **tags)
     if dpc_expected is None and rx_names:
         try:
-            dpc_expected = expected_data_len(
-                parameters.antenna(rx_names[0]))
+            # rows accumulate over ALL RX antennas below, so the 100%
+            # mark is the sum of their expected lengths
+            dpc_expected = sum(
+                expected_data_len(parameters.antenna(r))
+                for r in rx_names)
         except (IndexError, ZeroDivisionError):
             dpc_expected = None
 
+    import time as _time
     received_rows = 0
     last_pct = -10
+    last_data_t = _time.monotonic()
+    eom_grace = 0.5
     try:
         while True:
+            if (conn.end_of_measure.is_set() and dpc_expected and
+                    received_rows >= dpc_expected):
+                break                  # everything expected has arrived
             try:
                 meta, data = conn.data_queue.get(timeout=0.2)
             except queue.Empty:
+                now = _time.monotonic()
                 if conn.end_of_measure.is_set():
-                    break
+                    # EOM rides the async connection, which has no
+                    # ordering vs in-flight data packets: keep draining
+                    # for a grace window so tail packets are not dropped
+                    # (and cannot pollute the next measurement); the
+                    # received_rows check above skips the wait whenever
+                    # the expected count is known and met
+                    if now - last_data_t > eom_grace:
+                        break
+                elif timeout is not None and now - last_data_t > timeout:
+                    # sinks flush in the finally below
+                    raise TimeoutError(f"no data or EOM for {timeout} s")
                 continue
+            last_data_t = _time.monotonic()
+            received_rows += meta["length"] // max(1, meta["channels"])
             if progress and dpc_expected:
-                received_rows += meta["length"] // max(1, meta["channels"])
                 pct = min(100, int(100 * received_rows / dpc_expected))
                 if pct >= last_pct + 10:
                     _sys.stdout.write(f"\racquisition {pct:3d}%")
                     _sys.stdout.flush()
                     last_pct = pct
             ant = meta["front_end_code"]
-            sink = sinks.get(ant) or next(iter(sinks.values()))
+            sink = sinks.get(ant)
+            if sink is None:
+                log.warning("packet from unconfigured front end %r "
+                            "dropped", ant)
+                continue
             channels = max(1, meta["channels"])
             rows = len(data) // channels
             shaped = data[:rows * channels].reshape(rows, channels)

@@ -91,7 +91,10 @@ class Figure:
                 "traces": p.traces, "images": p.images,
             } for p in self.panels],
         }
-        html = _TEMPLATE.replace("__DATA__", json.dumps(payload))
+        # escape '</' so strings (names/titles) cannot terminate the
+        # <script> element mid-JSON
+        html = _TEMPLATE.replace(
+            "__DATA__", json.dumps(payload).replace("</", "<\\/"))
         with open(path, "w") as f:
             f.write(html)
         if auto_open:  # pragma: no cover - headless CI has no browser
@@ -134,12 +137,17 @@ DATA.panels.forEach((p,pi)=>{
   const tx=v=>p.xlog?Math.log10(Math.max(v,1e-300)):v;
   const ty=v=>p.ylog?Math.log10(Math.max(v,1e-300)):v;
   let x0=1/0,x1=-1/0,y0=1/0,y1=-1/0;
-  p.traces.forEach(t=>{t.x.forEach(v=>{const u=tx(v);
-      if(u<x0)x0=u; if(u>x1)x1=u;});
-    t.y.forEach(v=>{const u=ty(v); if(u<y0)y0=u; if(u>y1)y1=u;});});
+  // log axes: nonpositive samples are excluded from the BOUNDS (a
+  // single zero would autoscale to ~300 decades and flatten the plot)
+  p.traces.forEach(t=>{t.x.forEach(v=>{if(p.xlog&&v<=0)return;
+      const u=tx(v); if(u<x0)x0=u; if(u>x1)x1=u;});
+    t.y.forEach(v=>{if(p.ylog&&v<=0)return;
+      const u=ty(v); if(u<y0)y0=u; if(u>y1)y1=u;});});
+  // image extents join the bounds in TRANSFORMED space (sx/sy apply tx
+  // to them at render time)
   p.images.forEach(im=>{const e=im.extent;
-    x0=Math.min(x0,e[0]); x1=Math.max(x1,e[1]);
-    y0=Math.min(y0,e[2]); y1=Math.max(y1,e[3]);});
+    x0=Math.min(x0,tx(e[0])); x1=Math.max(x1,tx(e[1]));
+    y0=Math.min(y0,ty(e[2])); y1=Math.max(y1,ty(e[3]));});
   if(!isFinite(x0)){x0=0;x1=1;} if(!isFinite(y0)){y0=0;y1=1;}
   if(x0===x1){x1=x0+1;} if(y0===y1){y1=y0+1;}
   const pad=(y1-y0)*0.05; y0-=pad; y1+=pad;
@@ -233,31 +241,37 @@ DATA.panels.forEach((p,pi)=>{
                     s.classList.toggle('off'); render(); };
     legend.appendChild(s);
   });
+  // svg-relative pointer position (offsetX/Y would be relative to the
+  // event TARGET, which can be an embedded image or a trace element)
+  const mpos=ev=>{const r=svg.getBoundingClientRect();
+    return [ev.clientX-r.left, ev.clientY-r.top];};
   // wheel zoom (x around cursor; shift = y)
   svg.addEventListener('wheel',ev=>{
     ev.preventDefault();
     const k=ev.deltaY>0?1.2:1/1.2;
+    const m=mpos(ev);
     if(ev.shiftKey){
-      const f=vy0+(vy1-vy0)*(1-(ev.offsetY-MT)/(H-MT-MB));
+      const f=vy0+(vy1-vy0)*(1-(m[1]-MT)/(H-MT-MB));
       vy0=f+(vy0-f)*k; vy1=f+(vy1-f)*k;
     } else {
-      const f=vx0+(vx1-vx0)*(ev.offsetX-ML)/(W-ML-MR);
+      const f=vx0+(vx1-vx0)*(m[0]-ML)/(W-ML-MR);
       vx0=f+(vx0-f)*k; vx1=f+(vx1-f)*k;
     }
     render();
   });
   // drag pan
   let drag=null;
-  svg.addEventListener('mousedown',ev=>{drag=[ev.offsetX,ev.offsetY,
-                                              vx0,vx1,vy0,vy1];});
+  svg.addEventListener('mousedown',ev=>{const m=mpos(ev);
+    drag=[m[0],m[1],vx0,vx1,vy0,vy1];});
   window.addEventListener('mouseup',()=>{drag=null;});
   svg.addEventListener('dblclick',()=>{vx0=x0;vx1=x1;vy0=y0;vy1=y1;
                                        render();});
   const tip=document.getElementById('tip');
   svg.addEventListener('mousemove',ev=>{
+    const m=mpos(ev);
     if(drag){
-      const dx=(ev.offsetX-drag[0])/(W-ML-MR)*(drag[3]-drag[2]);
-      const dy=(ev.offsetY-drag[1])/(H-MT-MB)*(drag[5]-drag[4]);
+      const dx=(m[0]-drag[0])/(W-ML-MR)*(drag[3]-drag[2]);
+      const dy=(m[1]-drag[1])/(H-MT-MB)*(drag[5]-drag[4]);
       vx0=drag[2]-dx; vx1=drag[3]-dx; vy0=drag[4]+dy; vy1=drag[5]+dy;
       render(); return;
     }
@@ -266,7 +280,7 @@ DATA.panels.forEach((p,pi)=>{
     p.traces.forEach((t,ti)=>{
       if(hidden.has(ti)) return;
       for(let i=0;i<t.x.length;i++){
-        const dx=sx(t.x[i])-ev.offsetX, dy=sy(t.y[i])-ev.offsetY;
+        const dx=sx(t.x[i])-m[0], dy=sy(t.y[i])-m[1];
         const d=dx*dx+dy*dy;
         if(d<bd){bd=d;best=[t,i];}
       }
