@@ -195,3 +195,33 @@ def test_server_dual_uses_lockstep_path(tmp_chdir, monkeypatch):
     assert txrx.wait(timeout=120)
     assert txrx.error is None
     assert made, "dual measurement did not take the DualFused path"
+
+
+def test_server_death_mid_measure_raises_not_hangs(tmp_chdir):
+    """If the server vanishes mid-measure, Packets_to_file must raise
+    promptly instead of spinning on an empty queue forever (the RX
+    threads flag error/EOM on an EOF that precedes the EOM)."""
+    import time
+
+    srv = Server(async_port=0, data_port=0, host="127.0.0.1")
+    srv.start()
+    a_port, d_port = srv.ports
+    conn = Uconn.Connection(host="127.0.0.1", async_port=a_port,
+                            sync_port=d_port)
+    try:
+        # no measurement is ever started; killing the server must still
+        # release a waiting consumer via the EOF path
+        killer = threading.Timer(0.5, srv.close)
+        killer.start()
+        cmd = _cmd(freq=10_000)
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError):
+            Uconn.Packets_to_file(conn, cmd, filename="dead_server",
+                                  progress=False)
+        assert time.monotonic() - t0 < 30
+    finally:
+        conn.close()
+        try:
+            srv.close()
+        except Exception:
+            pass
