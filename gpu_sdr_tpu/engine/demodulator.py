@@ -74,7 +74,6 @@ def _build_direct(p: AntennaParams, plan: BlockPlan) -> Demodulator:
         freqs=freqs, phases=(0,) * len(freqs))
     L = plan.block_len
     nb = L // cfg.M
-    hmod = cfg.modulated_taps()
     ramp = cfg.carrier_ramp(nb)
     step_v = ddc_ops.ddc_carrier_step(cfg, L)
 
@@ -86,6 +85,8 @@ def _build_direct(p: AntennaParams, plan: BlockPlan) -> Demodulator:
     from ..ops.pallas_ddc import ddc_fused
     use_pallas = use_pallas_pfb()          # kill switch / auto: TPU only
     prec = kernel_dot_precision()          # honor the global matmul knob
+
+    hmod = cfg.modulated_taps()
 
     @jax.jit
     def step(state, x):

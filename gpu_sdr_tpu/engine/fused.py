@@ -91,57 +91,51 @@ class FusedLoopback:
         self._multi = multi
 
     def _try_tones_direct_chain(self):
-        """Build the single-kernel TONES->DIRECT chain when it applies:
-        no burst gating, decimating DIRECT RX, tileable geometry.  It
-        also wins for periodic (wavetable) combs with enough tones: the
-        constant block would be re-READ every block and the scan form
-        pays the Pallas-output stacking copy, while the chain reads only
-        the (nb, C_t) P factor and writes straight into the stacked
-        output.  With few tones the in-kernel synthesis dots degenerate
-        (contraction dim C_t) and the stacking copy is negligible, so
-        periodic combs now go through the replay kernel first (see
-        _try_replay_loopback); non-periodic combs take this chain
-        (config 3: 9.6 Gsps honest steady-state, G-fused)."""
+        """Build the closed-form TONES->DIRECT chain when it applies:
+        no burst gating, decimating DIRECT RX.  Periodic combs go
+        through the replay kernel first (_try_replay_loopback — config 1:
+        21.6 Gsps via the transposed few-channel kernel); everything
+        else takes the shift-fold chain (ops/fold_chain.py): synthesis,
+        mix-down and FIR contracted into ONE (nb, C_t) x (C_t, C')
+        matmul per block with exact single-stage DIRECT arithmetic —
+        pf_average-fold fewer MXU passes than round 2's G-fused Pallas
+        kernel (config 3 history: 7.9 G-fused v1 -> 9.6 G-fused v2 ->
+        the fold chain; docs/05_performance.md)."""
         tx, rx = self.tx, self.rx
         if not (tx.wave_type and tx.wave_type[0] == WaveType.TONES
                 and rx.wave_type and rx.wave_type[0] == WaveType.DIRECT):
             return None
         if tx.burst_on > 0 or int(rx.decim) <= 0 or int(rx.pf_average) < 2:
             return None
-        from ..config import kernel_dot_precision, use_pallas_pfb
-        if not use_pallas_pfb():
-            return None         # Pallas kill switch / off-TPU default
-        if kernel_dot_precision() != "tf32":
-            return None         # chain dots are tf32-grade; honor float32
         freqs = tuple(int(f) for f in tx.freq)
-        if not freqs:
+        if not freqs or not rx.freq:
             return None
         L = self.demod.plan.block_len
+        from ..config import use_pallas_pfb
         from ..ops.tonegen import comb_period
         period = comb_period(freqs, tx.rate)
         ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
-        if L % period == 0 and period <= (1 << 22):
+        if (use_pallas_pfb() and L % period == 0 and period <= (1 << 22)):
             # periodic comb: the loopback IS a looped one-block recording,
             # so the scalar-prefetch replay kernel (ops/pallas_replay.py)
             # serves it — grid-axis K, stacked output written in place,
             # FIR history = the recording rows preceding each tile with
             # the loop-seam wrap matching the comb's periodicity exactly.
-            # Config 1 honest steady-state: 21.6 Gsps (transposed
-            # few-channel kernel via make_replay_ddc).
             chain = self._try_replay_loopback(freqs, ampls, L)
             if chain is not None:
                 return chain
             if min(len(freqs), len(rx.freq)) < 8:
                 return None     # small comb, untileable: wavetable path
         from ..ops.ddc import DirectDDCConfig
-        from ..ops.pallas_chain import TonesDirectChain
+        from ..ops.fold_chain import TonesDirectFoldChain
         rx_freqs = tuple(int(f) for f in rx.freq)
         dcfg = DirectDDCConfig(
             rate=int(rx.rate), decim=int(rx.decim),
             pf_average=int(rx.pf_average), freqs=rx_freqs,
             phases=(0,) * len(rx_freqs))
-        chain = TonesDirectChain(rate=int(tx.rate), tx_freqs=freqs,
-                                 tx_ampls=ampls, cfg=dcfg, block_len=L)
+        chain = TonesDirectFoldChain(rate=int(tx.rate), tx_freqs=freqs,
+                                     tx_ampls=ampls, cfg=dcfg,
+                                     block_len=L)
         return chain if chain.ok else None
 
     def _try_replay_loopback(self, freqs, ampls, L):
