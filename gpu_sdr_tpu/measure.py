@@ -131,9 +131,15 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
     # (the reference's synchronized per-frontend thread chains,
     # cpp/USRP_server_link_threads.cpp:249-397)
     if source is None and channel is None:
-        from .engine.dual import DualFused, plan_dual
+        from .engine.dual import DualFused, DualShardedFused, plan_dual
         pairs = plan_dual(params, mesh=mesh)
+        dual = None
         if pairs is not None:
+            dual = (DualFused(pairs) if mesh is None
+                    else DualShardedFused(pairs, mesh))
+            if not getattr(dual, "ok", True):
+                dual = None       # untileable -> sequential fallback
+        if dual is not None:
             sinks_per_fe = []
             for rx_name, _tx, _rx in pairs:
                 sinks = list(extra_sinks)
@@ -143,7 +149,6 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                     sinks.append(h5)
                     out_name = h5.filename
                 sinks_per_fe.append(sinks)
-            dual = DualFused(pairs)
             results = dual.run(sinks_per_fe,
                                usrp_number=params.usrp_number)
             return out_name if filename is not None else None
@@ -276,6 +281,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                      usrp_number=params.usrp_number,
                                      front_end=rx_name[0])
             results.append(res)
+            if filename is not None and getattr(src, "aborted", False):
+                _flag_aborted(out_name, params.usrp_number, rx_name, src)
             continue
         sinks = list(extra_sinks)
         if filename is not None:
@@ -287,4 +294,19 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                            usrp_number=params.usrp_number,
                            front_end=rx_name[0])
         results.append(res)
+        if filename is not None and getattr(src, "aborted", False):
+            _flag_aborted(out_name, params.usrp_number, rx_name, src)
     return out_name if filename is not None else None
+
+
+def _flag_aborted(filename, usrp_number, rx_name, src) -> None:
+    """Stamp an aborted (under-delivered) acquisition on its H5 group so
+    analysis can tell a short file from a complete one — the reference
+    declares "USRP is not streaming" and aborts instead of fabricating
+    samples (cpp/USRP_hardware_manager.cpp:1546-1560)."""
+    import h5py
+    with h5py.File(filename, "a") as f:
+        g = f[f"raw_data{int(usrp_number)}"][rx_name]
+        g.attrs["aborted"] = True
+        g.attrs["shortfall_blocks"] = int(
+            getattr(src, "shortfall_blocks", 0))

@@ -1,7 +1,9 @@
-"""Multi-process (multi-host) rehearsal: two OS processes, 4 virtual CPU
-devices each, joined by jax.distributed into one 8-device slice; the
-sharded fused TONES->DIRECT chain runs across both and every process
-checks its addressable output shards against the float64 oracle.
+"""Multi-process (multi-host) rehearsal: N OS processes, 4 virtual CPU
+devices each, joined by jax.distributed into one slice; the sharded
+chains run across all of them and every process checks its addressable
+output shards against the float64 oracle (tools/multihost_rehearsal.py:
+fused chain, lock-step dual config-5, all sharded mode families, mixed
+modes, mesh-dispatched replay).
 
 (The reference is strictly single-node — SURVEY.md section 2.4; this is
 the jax.distributed path a real pod-slice deployment uses.)
@@ -12,8 +14,15 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "tools", "multihost_rehearsal.py")
+
+PHASE_KEYS = ('"ok": true', '"config5_lockstep": true',
+              '"config5_aligned": true', '"config5_ok": true',
+              '"phase3_ok": true', '"phase4_ok": true',
+              '"phase5_ok": true')
 
 
 def _free_port() -> int:
@@ -22,36 +31,42 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_chain_matches_golden():
-    # no pytest-timeout in this image; the communicate(timeout=240) below
-    # is the real watchdog
+def _run_rehearsal(n_procs: int, mesh: str, timeout: float):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # script sets its own device count
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
         [sys.executable, SCRIPT, "--coordinator", f"localhost:{port}",
-         "--num_processes", "2", "--process_id", str(i)],
+         "--num_processes", str(n_procs), "--process_id", str(i),
+         "--mesh", mesh],
         cwd=REPO, env=env, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        stderr=subprocess.STDOUT, text=True) for i in range(n_procs)]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {i} failed:\n{out[-2000:]}"
-        assert '"ok": true' in out, out[-2000:]
-        # phase 2: dual-channel config-5 measurement through the public
-        # API over the two-process mesh, global stream gathered per host
-        assert '"config5_ok": true' in out, out[-2000:]
-        # phase 3: sharded TONES / NOISE-decim / CHIRP families, golden-
-        # checked shard-by-shard on both hosts
-        assert '"phase3_ok": true' in out, out[-2000:]
-        # phase 4: mixed wave types (DIRECT + CHIRP on one RX) under the
-        # cross-process mesh
-        assert '"phase4_ok": true' in out, out[-2000:]
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        for key in PHASE_KEYS:
+            assert key in out, f"process {i} missing {key}:\n{out[-3000:]}"
+
+
+def test_two_process_sharded_chain_matches_golden():
+    # no pytest-timeout in this image; the communicate timeout below is
+    # the real watchdog
+    _run_rehearsal(2, "2x4", timeout=300)
+
+
+@pytest.mark.parametrize("mesh", ["4x4", "2x8"])
+def test_four_process_rehearsal(mesh):
+    """4 processes x 4 devices: the 16-device slice in both mesh
+    geometries, all five phases (fused chain golden, lock-step dual
+    config-5 alignment, sharded families at the 90 dB bar, mixed modes,
+    cross-process replay)."""
+    _run_rehearsal(4, mesh, timeout=600)

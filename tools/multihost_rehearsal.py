@@ -8,11 +8,21 @@ by hand:
   python tools/multihost_rehearsal.py --coordinator localhost:PORT \
       --num_processes 2 --process_id 1
 
-Each process exposes 4 virtual CPU devices; jax.distributed joins them
-into one 8-device "slice" and the (time, channels) mesh spans both
-processes, so the zero-collective TONES->DIRECT chain runs exactly as it
-would across pod hosts.  Every process checks ITS addressable output
-shards against the float64 golden oracle and prints one JSON line.
+Each process exposes `--devices_per_process` virtual CPU devices (default
+4); jax.distributed joins them into one slice and the (time, channels)
+mesh (`--mesh TxC`, default 2x4) spans all processes, so the sharded
+chains run exactly as they would across pod hosts.  Every process checks
+ITS addressable output shards against the float64 golden oracle and
+prints one JSON line per phase:
+
+  1. sharded fused TONES->DIRECT chain, shard-by-shard golden check
+  2. BASELINE config-5 dual-channel readout through run_measurement(mesh=)
+     with both frontends advanced LOCK-STEP in one SPMD program; asserts
+     the A/B packets are sample-aligned (shared-tone phase test)
+  3. remaining sharded mode families (TONES select / NOISE decim / CHIRP)
+  4. MIXED wave types under the cross-process mesh
+  5. cross-process mesh-dispatched replay (ShardedDeviceReplay) — a
+     recording is this framework's --sw_loop
 """
 
 import argparse
@@ -20,11 +30,25 @@ import json
 import os
 import sys
 
+
+def _parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--devices_per_process", type=int, default=4)
+    ap.add_argument("--mesh", default="2x4",
+                    help="time x channels mesh shape, e.g. 4x4 or 2x8")
+    return ap.parse_args()
+
+
+ARGS = _parse_args()
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=4").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={ARGS.devices_per_process}"
+).strip()
 
 import numpy as np  # noqa: E402
 import jax          # noqa: E402
@@ -34,20 +58,22 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+SNR_BAR = 90.0      # same bar as the single-process golden tests
+
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--coordinator", required=True)
-    ap.add_argument("--num_processes", type=int, required=True)
-    ap.add_argument("--process_id", type=int, required=True)
-    args = ap.parse_args()
+    args = ARGS
+    T, Kc = (int(v) for v in args.mesh.lower().split("x"))
 
     from gpu_sdr_tpu.parallel.distributed import initialize_distributed
     initialize_distributed(coordinator_address=args.coordinator,
                            num_processes=args.num_processes,
                            process_id=args.process_id)
-    assert len(jax.local_devices()) == 4, jax.local_devices()
-    assert jax.device_count() == 4 * args.num_processes, jax.devices()
+    assert len(jax.local_devices()) == args.devices_per_process, \
+        jax.local_devices()
+    n_dev = args.devices_per_process * args.num_processes
+    assert jax.device_count() == n_dev, jax.devices()
+    assert T * Kc == n_dev, f"mesh {args.mesh} != {n_dev} devices"
 
     from gpu_sdr_tpu import golden
     from gpu_sdr_tpu.parallel import make_mesh
@@ -55,16 +81,18 @@ def main():
     from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
 
     rate, decim, pfa = 1_000_000, 10, 4
-    freqs = [12_345, -67_891, 300_001, -111_111]
-    ampls = [0.4, 0.3, 0.2, 0.1]
+    # 8 tones so every mesh channel width in {1,2,4,8} divides the set
+    freqs = [12_345, -67_891, 300_001, -111_111,
+             45_007, -250_013, 150_151, -321_001]
+    ampls = [0.4, 0.3, 0.2, 0.1, 0.15, 0.12, 0.1, 0.08]
     L, K, n_exec = 80_000, 2, 2
     tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=L,
                        freq=freqs, ampl=ampls,
-                       wave_type=[WaveType.TONES] * 4)
+                       wave_type=[WaveType.TONES] * len(freqs))
     rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
                        freq=freqs, decim=decim, pf_average=pfa,
-                       wave_type=[WaveType.DIRECT] * 4)
-    mesh = make_mesh((2, 4), ("time", "channels"))   # spans both processes
+                       wave_type=[WaveType.DIRECT] * len(freqs))
+    mesh = make_mesh((T, Kc), ("time", "channels"))  # spans all processes
     sf = ShardedFusedDirect(tx, rx, mesh, blocks_per_exec=K, block_len=L)
     assert sf.ok
 
@@ -89,13 +117,19 @@ def main():
     ok = snr > 95.0
     print(json.dumps({"process": args.process_id,
                       "devices": jax.device_count(),
+                      "mesh": args.mesh,
                       "worst_shard_snr_db": round(snr, 1),
                       "ok": bool(ok)}), flush=True)
 
     # phase 2: BASELINE config-5 shape through the public measurement API —
-    # dual-channel readout, each frontend one SPMD chain over the mesh
-    # spanning both processes; every process's sinks receive the gathered
-    # global stream (_to_np_global)
+    # dual-channel readout with BOTH frontends advanced lock-step inside
+    # ONE SPMD program over the cross-process mesh (DualShardedFused; the
+    # reference's simultaneous A/B thread chains on one PPS timebase,
+    # cpp/USRP_server_link_threads.cpp:249-397).  Sample alignment is
+    # asserted with a shared injected tone: every TX tone sits `df` off
+    # its RX carrier, so both frontends' outputs rotate at df — if packet
+    # k of A and B covered different sample instants the residual phases
+    # would diverge.
     os.environ["GPU_SDR_TPU_PALLAS"] = "1"
     from gpu_sdr_tpu.engine.sinks import MemorySink
     from gpu_sdr_tpu.measure import run_measurement
@@ -103,12 +137,13 @@ def main():
 
     n_tones = 16
     d5 = 100                       # 400-tap FIR: tone isolation (config 5)
+    df = 1_000                     # shared off-carrier injection
     dfreqs = [int(f) for f in np.linspace(-400_000, 400_000, n_tones)]
     cmd = UsrpParams()
     for fe in ("A", "B"):
         setattr(cmd, f"{fe}_TXRX", AntennaParams(
             mode=AntMode.TX, rate=rate, buffer_len=L, samples=4 * L,
-            freq=dfreqs, ampl=[1.0 / n_tones] * n_tones,
+            freq=[f + df for f in dfreqs], ampl=[1.0 / n_tones] * n_tones,
             wave_type=[WaveType.TONES] * n_tones, delay=1.0))
         setattr(cmd, f"{fe}_RX2", AntennaParams(
             mode=AntMode.RX, rate=rate, buffer_len=L, samples=4 * L,
@@ -116,25 +151,40 @@ def main():
             wave_type=[WaveType.DIRECT] * n_tones, delay=1.0))
     sink = MemorySink()
     run_measurement(cmd, None, extra_sinks=[sink], mesh=mesh)
-    # both frontends stream into the sink back-to-back; skip each one's
-    # FIR warm-up rows before the amplitude check
-    data = sink.data
-    rows_fe = data.shape[0] // 2
-    mask = np.ones(data.shape[0], bool)
-    mask[:8] = False
-    mask[rows_fe:rows_fe + 8] = False
-    amp_ok = bool(np.allclose(
-        np.abs(data[mask]), 1.0 / n_tones, atol=2e-3))
+    # the lock-step dual path stamps packets with the FULL antenna name
+    # (A_RX2/B_RX2); the sequential fallback would stamp 'A'/'B'
+    codes = {m.front_end_code for m in sink.metas}
+    lockstep = codes == {"A_RX2", "B_RX2"}
+    streams = {c: np.concatenate(
+        [p for m, p in zip(sink.metas, sink.packets)
+         if m.front_end_code == c]) for c in sorted(codes)}
+    a, b = (streams.get("A_RX2"), streams.get("B_RX2"))
+    amp_ok = align_ok = False
+    if lockstep and a is not None and b is not None and len(a) == len(b):
+        out_rate = rate / d5
+        k = np.arange(len(a))
+        rot = np.exp(2j * np.pi * df * k / out_rate)[:, None]
+        ra, rb = a[8:] / rot[8:], b[8:] / rot[8:]   # skip FIR warm-up
+        # both frontends see the same FIR gain at df
+        amp_ok = bool(np.allclose(np.abs(ra), np.abs(rb), atol=1e-4) and
+                      np.allclose(np.abs(ra), 1.0 / n_tones, atol=5e-3))
+        pa = np.angle(ra)
+        pd = np.angle(ra * np.conj(rb))
+        align_ok = bool(np.ptp(pa, axis=0).max() < 1e-2 and
+                        np.abs(pd).max() < 1e-3)
+    amp_ok = bool(amp_ok and align_ok and lockstep)
     print(json.dumps({"process": args.process_id,
-                      "config5_rows": int(data.shape[0]),
-                      "config5_channels": int(data.shape[1]),
+                      "config5_rows": int(sink.data.shape[0]),
+                      "config5_channels": int(sink.data.shape[1]),
+                      "config5_lockstep": bool(lockstep),
+                      "config5_aligned": bool(align_ok),
                       "config5_ok": amp_ok}), flush=True)
 
-    # phase 3: every remaining sharded mode family across the two
-    # processes, each checked SHARD-BY-SHARD against the float64 oracle
-    # (outputs span both processes, so only addressable shards are
-    # compared locally): TONES (sharded PFB + owner-local select), NOISE
-    # with frame averaging, and the CHIRP lock-in
+    # phase 3: every remaining sharded mode family across the processes,
+    # each checked SHARD-BY-SHARD against the float64 oracle (outputs
+    # span the processes, so only addressable shards are compared
+    # locally): TONES (sharded PFB + owner-local select), NOISE with
+    # frame averaging, and the CHIRP lock-in
     from gpu_sdr_tpu.ops import pfb as pfb_ops
     from gpu_sdr_tpu.parallel.sharded_pfb import ShardedPFB
     from gpu_sdr_tpu.parallel.sharded_chirp import ShardedChirpLockin
@@ -162,7 +212,7 @@ def main():
 
     # --- TONES: sharded PFB + owner-local tone select ---
     nfft, avg = 64, 4
-    Lp = nfft * 32
+    Lp = nfft * 32 * max(1, T // 2)   # keep >= 8 frames per time shard
     ft = Lp // nfft
     bins = (5, 17, 40)
     pcfg = pfb_ops.PFBConfig(nfft=nfft, avg=avg, rate=rate)
@@ -172,7 +222,8 @@ def main():
     ref_frames = golden.pfb_frames(np.concatenate(xs), nfft, avg)
     ref_sel = golden.tone_select(ref_frames, list(bins))
     skip = avg - 1                    # zero-primed halo transient
-    ref_rows = np.full((2 * ft, len(bins)), complex(np.nan, np.nan), np.complex128)
+    ref_rows = np.full((2 * ft, len(bins)), complex(np.nan, np.nan),
+                       np.complex128)
     ref_rows[skip:skip + len(ref_sel)] = ref_sel[:2 * ft - skip]
     carry = sp.init_state()
     worst = 0.0
@@ -221,8 +272,9 @@ def main():
             y, ref_c[b_i * nseg:(b_i + 1) * nseg], worst)
     results["chirp_snr_db"] = to_db(worst)
 
-    phase3_ok = all(v > 80.0 for v in results.values())
-    results.update({"process": args.process_id, "phase3_ok": phase3_ok})
+    phase3_ok = all(v > SNR_BAR for v in results.values())
+    results.update({"process": args.process_id, "snr_bar": SNR_BAR,
+                    "phase3_ok": phase3_ok})
     print(json.dumps(results), flush=True)
 
     # phase 4: MIXED wave types under the cross-process mesh (beyond the
@@ -278,10 +330,41 @@ def main():
             yc, refc[b_i * rc:(b_i + 1) * rc], worst_c)
     mixed = {"mixed_direct_snr_db": to_db(worst_d),
              "mixed_chirp_snr_db": to_db(worst_c)}
-    phase4_ok = all(v > 80.0 for v in mixed.values())
-    mixed.update({"process": args.process_id, "phase4_ok": phase4_ok})
+    phase4_ok = all(v > SNR_BAR for v in mixed.values())
+    mixed.update({"process": args.process_id, "snr_bar": SNR_BAR,
+                  "phase4_ok": phase4_ok})
     print(json.dumps(mixed), flush=True)
-    sys.exit(0 if (ok and amp_ok and phase3_ok and phase4_ok) else 1)
+
+    # phase 5: cross-process mesh-dispatched replay — the recording is
+    # this framework's --sw_loop (reference software_rx_thread,
+    # cpp/USRP_hardware_manager.cpp:1331-1395); every process receives
+    # the gathered global stream and golden-checks it
+    from gpu_sdr_tpu.parallel.sharded_replay import ShardedDeviceReplay
+
+    rxr = AntennaParams(
+        mode=AntMode.RX, rate=rate, decim=100, pf_average=pfa,
+        buffer_len=100_000, samples=400_000, freq=freqs,
+        wave_type=[WaveType.DIRECT] * len(freqs))
+    rec = golden.tone_block(freqs, ampls, rate, 0, 400_000
+                            ).astype(np.complex64)
+    sr = ShardedDeviceReplay(rxr, rec, mesh, loop=False)
+    rsink = MemorySink()
+    sr.run([rsink])
+    ref_r = golden.GoldenDirectDemodulator(freqs, rate, 100, pfa)(rec).T
+    got_r = rsink.data
+    n = min(len(ref_r), len(got_r))
+    num = float(np.sum(np.abs(got_r[:n] - ref_r[:n].astype(np.complex64)
+                              ) ** 2))
+    den = float(np.sum(np.abs(ref_r[:n]) ** 2)) or 1.0
+    replay_snr = to_db(num / den)
+    phase5_ok = bool(replay_snr > SNR_BAR and len(got_r) == len(ref_r))
+    print(json.dumps({"process": args.process_id,
+                      "replay_snr_db": replay_snr,
+                      "replay_rows": int(len(got_r)),
+                      "phase5_ok": phase5_ok}), flush=True)
+
+    sys.exit(0 if (ok and amp_ok and phase3_ok and phase4_ok and
+                   phase5_ok) else 1)
 
 
 if __name__ == "__main__":
