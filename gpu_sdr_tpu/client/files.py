@@ -373,8 +373,14 @@ class H5Sink(Sink):
 
     def on_end(self) -> None:
         try:
-            self._group[self.dataset].attrs.create("samples",
-                                                   self._written)
+            ds = self._group[self.dataset]
+            if self.trigger is None and self._written < ds.shape[1]:
+                # under-delivered stream (e.g. ingest producer died): the
+                # file ends SHORT instead of keeping fabricated zero rows
+                # — the reference aborts rather than inventing samples
+                # (cpp/USRP_hardware_manager.cpp:1546-1560)
+                ds.resize((ds.shape[0], self._written))
+            ds.attrs.create("samples", self._written)
             if self.trigger is not None and "trigger" in self._group:
                 # persist trigger bookkeeping (the attrs the reference
                 # stores for amplitude_trigger, USRP_files.py:1017-1027)

@@ -132,9 +132,15 @@ class SocketIngestSource(Source):
     (cpp/USRP_server_diagnostic.cpp:14-106).
 
     Use `port=0` for an ephemeral port; read `.port` to tell the producer
-    where to connect.  If the producer disconnects mid-measurement the
-    remaining blocks are zero-filled (the measurement completes short, like
-    the reference's "USRP is not streaming" abort path).
+    where to connect.  If the producer disconnects or stalls
+    mid-measurement the stream ENDS SHORT: a partial tail block is
+    delivered zero-padded with its missing samples error-stamped (native
+    `padded` counter), the shortfall is logged with the reference's
+    "not streaming" diagnostic, and no further blocks are fabricated —
+    the reference aborts rather than writing invented samples
+    (cpp/USRP_hardware_manager.cpp:1546-1560).  `aborted` records the
+    outcome; the pipeline and the H5 sinks handle under-delivery
+    (run_pipeline accounting, H5Sink end-of-run shrink).
     """
 
     def __init__(self, block_len: int, port: int = 0, queue_len: int = 16,
@@ -146,9 +152,12 @@ class SocketIngestSource(Source):
         self.block_len = int(block_len)
         self.timeout = float(timeout)
         self._errors_reported = 0
+        self.aborted = False
+        self.shortfall_blocks = 0
 
     def take_errors(self) -> int:
-        total = self._ingest.stats["overflows"]
+        st = self._ingest.stats
+        total = st["overflows"] + st["padded"]
         delta = total - self._errors_reported
         self._errors_reported = total
         return int(delta)
@@ -160,10 +169,24 @@ class SocketIngestSource(Source):
     def blocks(self, block_len: int, n_blocks: int):
         assert block_len == self.block_len, \
             "ingest block length fixed at construction (native ring slots)"
-        for _ in range(n_blocks):
-            blk = self._ingest.pop_block(timeout=self.timeout)
-            if blk is None:          # producer hung up; run out with zeros
-                blk = np.zeros(block_len, dtype=np.complex64)
+        from ..utils.log import get_logger
+        for i in range(n_blocks):
+            try:
+                blk = self._ingest.pop_block(timeout=self.timeout)
+            except TimeoutError:
+                blk = None
+            if blk is None:
+                # producer hung up / stalled: end the measurement short,
+                # never fabricate data (the reference declares "USRP is
+                # not streaming" and aborts,
+                # cpp/USRP_hardware_manager.cpp:1546-1560)
+                self.aborted = True
+                self.shortfall_blocks = n_blocks - i
+                get_logger("ingest").error(
+                    "ingest producer is not streaming: ending measurement "
+                    "%d blocks short (%d/%d delivered)",
+                    self.shortfall_blocks, i, n_blocks)
+                return
             yield blk
 
     def close(self) -> None:

@@ -72,8 +72,11 @@ def load_library() -> Optional[ctypes.CDLL]:
                     fn = getattr(lib, f"sdr_ingest_{name}")
                     fn.restype = ctypes.c_int
                     fn.argtypes = [ctypes.c_void_p]
-                for name in ("blocks_received", "overflows", "fragments"):
-                    fn = getattr(lib, f"sdr_ingest_{name}")
+                for name in ("blocks_received", "overflows", "fragments",
+                             "padded"):
+                    fn = getattr(lib, f"sdr_ingest_{name}", None)
+                    if fn is None:       # pre-padded-counter .so builds
+                        continue
                     fn.restype = ctypes.c_ulonglong
                     fn.argtypes = [ctypes.c_void_p]
                 lib.sdr_ingest_destroy.argtypes = [ctypes.c_void_p]
@@ -137,12 +140,15 @@ class NativeIngest:
         with self._h_lock:
             if not self._h:
                 return {"blocks_received": 0, "overflows": 0,
-                        "fragments": 0}
+                        "fragments": 0, "padded": 0}
             return {
                 "blocks_received": int(
                     self._lib.sdr_ingest_blocks_received(self._h)),
                 "overflows": int(self._lib.sdr_ingest_overflows(self._h)),
                 "fragments": int(self._lib.sdr_ingest_fragments(self._h)),
+                "padded": (int(self._lib.sdr_ingest_padded(self._h))
+                           if hasattr(self._lib, "sdr_ingest_padded")
+                           else 0),
             }
 
     def connected(self) -> bool:

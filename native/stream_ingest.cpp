@@ -42,6 +42,8 @@ struct IngestServer {
   std::atomic<uint64_t> blocks_received{0};
   std::atomic<uint64_t> overflows{0};   // ring full -> block dropped
   std::atomic<uint64_t> fragments{0};   // recv() calls (frag diagnostics)
+  std::atomic<uint64_t> padded{0};      // zero-filled samples in the
+                                        // delivered EOF tail block
   std::atomic<bool> eof{false};         // producer closed; stream is over
 
   ~IngestServer() { shutdown(); }
@@ -89,8 +91,13 @@ struct IngestServer {
       ssize_t n = ::recv(client_fd, staging.data() + got,
                          block_bytes - got, 0);
       if (n <= 0) {  // producer went away
-        if (got > 0) {  // deliver the zero-padded tail first
+        if (got > 0) {  // deliver the zero-padded tail first, with the
+          // missing samples counted so the packet is error-stamped
+          // (reference get_rx_errors accounting,
+          // cpp/USRP_server_diagnostic.cpp:14-106)
           std::memset(staging.data() + got, 0, block_bytes - got);
+          padded.fetch_add((block_bytes - got) / 8,
+                           std::memory_order_relaxed);
           got = block_bytes;
           break;
         }
@@ -191,6 +198,10 @@ unsigned long long sdr_ingest_overflows(void* handle) {
 
 unsigned long long sdr_ingest_fragments(void* handle) {
   return static_cast<IngestServer*>(handle)->fragments.load();
+}
+
+unsigned long long sdr_ingest_padded(void* handle) {
+  return static_cast<IngestServer*>(handle)->padded.load();
 }
 
 void sdr_ingest_destroy(void* handle) {

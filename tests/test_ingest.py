@@ -160,12 +160,15 @@ def test_socket_ingest_matches_array_source():
 
 
 @needs_native
-def test_socket_ingest_producer_hangup_zero_fills():
-    """Producer dies mid-measurement: the remaining blocks run out as
-    zeros (the reference's not-streaming abort still writes the file)."""
+def test_socket_ingest_producer_hangup_ends_short():
+    """Producer dies mid-measurement: the stream ends SHORT — the padded
+    tail block is error-stamped and no further blocks are fabricated
+    (the reference declares "USRP is not streaming" and aborts,
+    cpp/USRP_hardware_manager.cpp:1546-1560)."""
     rx = _rx_params()
     demod = make_demodulator(rx)
-    blk = demod.plan.block_len
+    plan = demod.plan
+    blk = plan.block_len
     data = _comb(blk + blk // 2, rx.rate)   # 1.5 blocks then EOF
 
     with SocketIngestSource(block_len=blk, timeout=30.0) as src:
@@ -173,11 +176,65 @@ def test_socket_ingest_producer_hangup_zero_fills():
             target=_send_all, args=(src.port, data.tobytes()), daemon=True)
         producer.start()
         sink = MemorySink()
-        run_pipeline(make_demodulator(rx), src, [sink])
+        res = run_pipeline(make_demodulator(rx), src, [sink])
         producer.join(timeout=10)
-    # first block demodulates the comb; late blocks are zero
-    assert np.abs(sink.data[-1]).max() == 0.0
+        assert src.aborted
+        assert src.shortfall_blocks == plan.n_blocks - 2
+        assert src.stats["padded"] == blk - blk // 2
+    # only the two delivered blocks were emitted, nothing fabricated after
+    assert res.n_blocks == 2
+    rows_per_block = plan.block_len // rx.decim
+    assert sink.data.shape[0] == 2 * rows_per_block
+    # the first block demodulated the comb for real
     assert np.abs(sink.data[2]).max() > 0.1
+    # the zero-padded tail samples are error-stamped on a delivered
+    # packet (which one depends on when the feeder samples the counter —
+    # the native thread may hit EOF before block 0 drains)
+    assert sum(m.errors for m in sink.metas) > 0
+
+
+@needs_native
+def test_ingest_abort_writes_short_flagged_h5(tmp_path, monkeypatch):
+    """Kill the producer mid-measurement through the full measurement
+    path: the H5 file must come out SHORT (dataset shrunk to what was
+    delivered), with nonzero `errors` entries and the group flagged
+    aborted — never silent zero rows."""
+    import h5py
+
+    from gpu_sdr_tpu.measure import run_measurement
+    from gpu_sdr_tpu.params import UsrpParams
+
+    monkeypatch.chdir(tmp_path)
+    rx = _rx_params()
+    params = UsrpParams()
+    params.A_RX2 = rx
+    demod = make_demodulator(rx)
+    plan = demod.plan
+    blk = plan.block_len
+    data = _comb(blk + blk // 2, rx.rate)   # 1.5 blocks then EOF
+
+    with SocketIngestSource(block_len=blk, timeout=30.0) as src:
+        producer = threading.Thread(
+            target=_send_all, args=(src.port, data.tobytes()), daemon=True)
+        producer.start()
+        fn = run_measurement(params, "aborted_meas", source=src)
+        producer.join(timeout=10)
+        assert src.aborted
+
+    rows_per_block = blk // rx.decim
+    with h5py.File(fn, "r") as f:
+        g = f["raw_data0"]["A_RX2"]
+        # short: shrunk to the two delivered blocks, not samples/decim
+        assert g["data"].shape == (2, 2 * rows_per_block)
+        assert g["data"].attrs["samples"] == 2 * rows_per_block
+        # flagged
+        assert bool(g.attrs["aborted"])
+        assert int(g.attrs["shortfall_blocks"]) == plan.n_blocks - 2
+        # the zero-padded tail samples are error-stamped inside the
+        # delivered region
+        errs = g["errors"][:]
+        assert errs.shape[0] >= 1
+        assert 0 < errs[-1][1] <= 2 * rows_per_block
 
 
 @needs_native
