@@ -37,24 +37,21 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             raise
 
 
-def host_local_block(x_global: np.ndarray, mesh,
-                     axis: str = "time") -> Tuple[np.ndarray, int]:
-    """The contiguous slice of a global IQ block this host must provide.
-
-    Returns (local_samples, global_offset).  With T time shards over P
-    hosts, each host owns the segments of its local devices; segments are
-    contiguous in mesh order."""
-    devs = list(mesh.devices.flat)
+def host_time_span(mesh, axis: str = "time") -> Tuple[int, int, int]:
+    """(start, stop, T): the contiguous span of `axis` shards owned by
+    this host's local devices, out of T total.  Raises when the mesh
+    layout gives this host a non-contiguous span (lay the mesh out with
+    the default device order so each host owns one contiguous time
+    span)."""
     t_axis = list(mesh.axis_names).index(axis)
     T = mesh.shape[axis]
-    seg = len(x_global) // T
     local_ids = {d.id for d in jax.local_devices()}
     # time-shard index of each device row in the mesh
     owned = sorted({idx[t_axis]
                     for idx, d in np.ndenumerate(mesh.devices)
                     if d.id in local_ids})
     if not owned:
-        return np.zeros(0, dtype=x_global.dtype), 0
+        return 0, 0, T
     start, stop = owned[0], owned[-1] + 1
     if owned != list(range(start, stop)):
         raise ValueError(
@@ -62,4 +59,18 @@ def host_local_block(x_global: np.ndarray, mesh,
             f"mesh order; lay the mesh out so each host owns a "
             f"contiguous time span (e.g. make_mesh with the default "
             f"device order)")
+    return start, stop, T
+
+
+def host_local_block(x_global: np.ndarray, mesh,
+                     axis: str = "time") -> Tuple[np.ndarray, int]:
+    """The contiguous slice of a global IQ block this host must provide.
+
+    Returns (local_samples, global_offset).  With T time shards over P
+    hosts, each host owns the segments of its local devices; segments are
+    contiguous in mesh order."""
+    start, stop, T = host_time_span(mesh, axis)
+    seg = len(x_global) // T
+    if start == stop:
+        return np.zeros(0, dtype=x_global.dtype), 0
     return x_global[start * seg: stop * seg], start * seg

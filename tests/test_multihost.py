@@ -22,7 +22,7 @@ SCRIPT = os.path.join(REPO, "tools", "multihost_rehearsal.py")
 PHASE_KEYS = ('"ok": true', '"config5_lockstep": true',
               '"config5_aligned": true', '"config5_ok": true',
               '"phase3_ok": true', '"phase4_ok": true',
-              '"phase5_ok": true')
+              '"phase5_ok": true', '"phase6_ok": true')
 
 
 def _free_port() -> int:

@@ -23,6 +23,9 @@ prints one JSON line per phase:
   4. MIXED wave types under the cross-process mesh
   5. cross-process mesh-dispatched replay (ShardedDeviceReplay) — a
      recording is this framework's --sw_loop
+  6. per-host sharded ingest: every process's native TCP receiver is fed
+     a DISTINCT stream (its host-local time shard) and the globally
+     assembled blocks golden-check through the sharded demodulator
 """
 
 import argparse
@@ -363,8 +366,73 @@ def main():
                       "replay_rows": int(len(got_r)),
                       "phase5_ok": phase5_ok}), flush=True)
 
+    # phase 6: PER-HOST SHARDED INGEST — every process binds its own
+    # native TCP receiver and is fed ONLY the time span its local devices
+    # own; the global block is assembled with
+    # jax.make_array_from_process_local_data and demodulated by the
+    # sharded chain (SURVEY.md section 2.4 "per-host shard of the IQ
+    # stream"; reference transport
+    # headers/USRP_server_memory_management.hpp:210-272)
+    import socket
+    import threading
+    from gpu_sdr_tpu.engine import make_demodulator
+    from gpu_sdr_tpu.ops import cplx as cplx_ops
+    from gpu_sdr_tpu.parallel.host_ingest import (PerHostIngest,
+                                                  host_stream_for)
+
+    rxi = AntennaParams(
+        mode=AntMode.RX, rate=rate, decim=100, pf_average=pfa,
+        buffer_len=100_000, samples=300_000, freq=freqs,
+        wave_type=[WaveType.DIRECT] * len(freqs))
+    dmi = make_demodulator(rxi, mesh=mesh)
+    Li, nbi = dmi.plan.block_len, dmi.plan.n_blocks
+    # the same global recording on every process (deterministic synth);
+    # each process streams ONLY its host span to its own receiver
+    reci = golden.tone_block(freqs, ampls, rate, 0, nbi * Li
+                             ).astype(np.complex64)
+
+    def _produce(port, payload):
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.sendall(payload.tobytes())
+
+    with PerHostIngest(mesh, Li) as ing:
+        payload = host_stream_for(reci, ing, nbi)
+        assert len(payload) == nbi * ing.local_len
+        if args.num_processes > 1:      # each host feeds ONLY its shard
+            assert len(payload) < len(reci)
+        producer = threading.Thread(target=_produce,
+                                    args=(ing.port, payload), daemon=True)
+        producer.start()
+        sti = dmi.init_state()
+        outs = []
+        for xb, _errs in ing.device_blocks(Li, nbi):
+            sti, y = dmi.step(sti, xb)
+            re, im = y.re, y.im
+            if not re.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                re = multihost_utils.process_allgather(re, tiled=True)
+                im = multihost_utils.process_allgather(im, tiled=True)
+            outs.append(np.asarray(re).astype(np.float32)
+                        + 1j * np.asarray(im).astype(np.float32))
+        producer.join(timeout=10)
+        ingest_aborted = ing.aborted
+    got_i = np.concatenate(outs, axis=0)
+    ref_i = golden.GoldenDirectDemodulator(freqs, rate, 100, pfa)(reci).T
+    n = min(len(ref_i), len(got_i))
+    num = float(np.sum(np.abs(got_i[:n] - ref_i[:n].astype(np.complex64)
+                              ) ** 2))
+    den = float(np.sum(np.abs(ref_i[:n]) ** 2)) or 1.0
+    ingest_snr = to_db(num / den)
+    phase6_ok = bool(ingest_snr > SNR_BAR and not ingest_aborted and
+                     len(got_i) == nbi * (Li // 100))
+    print(json.dumps({"process": args.process_id,
+                      "host_ingest_snr_db": ingest_snr,
+                      "host_ingest_local_len": int(ing.local_len),
+                      "host_ingest_rows": int(len(got_i)),
+                      "phase6_ok": phase6_ok}), flush=True)
+
     sys.exit(0 if (ok and amp_ok and phase3_ok and phase4_ok and
-                   phase5_ok) else 1)
+                   phase5_ok and phase6_ok) else 1)
 
 
 if __name__ == "__main__":
