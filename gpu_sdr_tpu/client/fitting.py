@@ -141,10 +141,13 @@ def _write_tones_init(filename, tones) -> None:
 
 def extimate_peak_number(filename, threshold=0.2, smoothing=None,
                          peak_width=200e3, exclude_center=True,
-                         edge_cut_fraction=95) -> int:
+                         edge_cut_fraction=95, verbose=False,
+                         diagnostic_plots=False) -> int:
     """Gradient-threshold peak estimator (reference extimate_peak_number,
     USRP_fitting.py:197-377); stores tones_init in the Resonators group and
-    returns the count.  Uses scipy find_peaks in place of peakutils."""
+    returns the count.  Uses scipy find_peaks in place of peakutils.
+    `diagnostic_plots` saves a |S21|-with-markers png like the
+    reference."""
     filename = format_filename(filename)
     info = get_rx_info(filename)
     center = info.tone
@@ -172,14 +175,40 @@ def extimate_peak_number(filename, threshold=0.2, smoothing=None,
     idx, _ = signal.find_peaks(grad, height=threshold * np.max(grad),
                                distance=dist)
     tones = freq[idx]
+    if verbose:
+        print(f"extimate_peak_number: {len(tones)} peaks above "
+              f"{threshold:.2f}*max|grad S21|")
+    if diagnostic_plots:
+        _peak_diagnostic_plot(filename, freq, magnitude, tones,
+                              "peak_number_estimation")
     if len(tones) > 0:
         _write_tones_init(filename, tones)
     return len(tones)
 
 
+def _peak_diagnostic_plot(filename, freq, magnitude, tones, tag) -> str:
+    """Diagnostic |S21| plot with candidate-peak markers (the reference's
+    diagnostic_plots=True artifact, USRP_fitting.py:300-360)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(freq / 1e6, vrms2dbm(magnitude), lw=0.8)
+    for t in tones:
+        ax.axvline(t / 1e6, color="r", ls="--", lw=0.8)
+    ax.set_xlabel("frequency [MHz]")
+    ax.set_ylabel("|S21| [dBm]")
+    ax.set_title(f"{tag}: {len(tones)} candidates")
+    out = f"{tag}_{format_filename(filename).rsplit('.', 1)[0]}.png"
+    fig.savefig(out, dpi=100)
+    plt.close(fig)
+    return out
+
+
 def initialize_peaks(filename, N_peaks=1, smoothing=None, peak_width=90e3,
                      Qr_cutoff=5e3, a_cutoff=10, Mag_depth_cutoff=0.15,
-                     exclude_center=True, edge_cut_fraction=90) -> bool:
+                     exclude_center=True, edge_cut_fraction=90,
+                     verbose=False, diagnostic_plots=False) -> bool:
     """Iterative fit-and-filter peak initializer (reference
     initialize_peaks, USRP_fitting.py:380-586): repeatedly take the largest
     |grad S21|, fit the nonlinear model around it, accept if Qr, asymmetry
@@ -224,14 +253,22 @@ def initialize_peaks(filename, N_peaks=1, smoothing=None, peak_width=90e3,
                            np.max(vrms2dbm(np.abs(zfit))))
         except (RuntimeError, ValueError):
             Qr, depth, a, f0 = 0, 0, np.inf, 0
-        if (Qr > Qr_cutoff and Qr < Qr_max and
-                f0 > freq[half_lo] / 1e6 and f0 < freq[half_hi] / 1e6 and
-                a < a_cutoff and depth > Mag_depth_cutoff):
+        accept = (Qr > Qr_cutoff and Qr < Qr_max and
+                  f0 > freq[half_lo] / 1e6 and f0 < freq[half_hi] / 1e6 and
+                  a < a_cutoff and depth > Mag_depth_cutoff)
+        if verbose:
+            print(f"initialize_peaks: candidate {freq[m] / 1e6:.4f} MHz "
+                  f"Qr={Qr:.0f} depth={depth:.2f} dB a={a:.2f} -> "
+                  f"{'accept' if accept else 'reject'}")
+        if accept:
             found.append(freq[m])
         if len(found) >= N_peaks:
             break
         mask[max(m - pw, 0):min(m + pw, len(mask))] = False
 
+    if diagnostic_plots:
+        _peak_diagnostic_plot(filename, freq, magnitude,
+                              np.asarray(found), "peaks_init")
     if found:
         _write_tones_init(filename, found)
     return len(found) == N_peaks
