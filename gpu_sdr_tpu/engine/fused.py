@@ -66,8 +66,12 @@ class FusedLoopback:
             # copied on return (~16% at config 2's 800 MB chirp period).
             # Chains whose init_state hands out a resident master array
             # return a device COPY so a second acquisition still works
-            # after the first call consumed the donated buffer.
-            donate = jax.default_backend() in ("tpu", "axon")
+            # after the first call consumed the donated buffer.  A chain
+            # can OPT OUT via donate_state=False — donating the XLA fold
+            # chain's P/ramp state measured a 228 s compile and a 3.2x
+            # slowdown (tools/perf_api_fold_probe.py).
+            donate = (jax.default_backend() in ("tpu", "axon") and
+                      getattr(chain, "donate_state", True))
             multi = jax.jit(_multi_impl,
                             donate_argnums=(0,) if donate else ())
         else:
@@ -126,13 +130,24 @@ class FusedLoopback:
                 return chain
             if min(len(freqs), len(rx.freq)) < 8:
                 return None     # small comb, untileable: wavetable path
+        from ..config import kernel_dot_precision
         from ..ops.ddc import DirectDDCConfig
         from ..ops.fold_chain import TonesDirectFoldChain
+        from ..ops.pallas_chain import TonesDirectFoldKernel
         rx_freqs = tuple(int(f) for f in rx.freq)
         dcfg = DirectDDCConfig(
             rate=int(rx.rate), decim=int(rx.decim),
             pf_average=int(rx.pf_average), freqs=rx_freqs,
             phases=(0,) * len(rx_freqs))
+        if use_pallas_pfb() and kernel_dot_precision() == "tf32":
+            # shift-fold algebra in ONE HBM pass: 11.4 Gsps vs 9.2 for
+            # the XLA fold scan at the config-3 shape
+            # (tools/perf_fold_kernel.py, 2026-08-20)
+            chain = TonesDirectFoldKernel(rate=int(tx.rate),
+                                          tx_freqs=freqs, tx_ampls=ampls,
+                                          cfg=dcfg, block_len=L)
+            if chain.ok:
+                return chain
         chain = TonesDirectFoldChain(rate=int(tx.rate), tx_freqs=freqs,
                                      tx_ampls=ampls, cfg=dcfg,
                                      block_len=L)

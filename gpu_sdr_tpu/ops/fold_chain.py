@@ -110,10 +110,17 @@ class TonesDirectFoldChain:
         abs0 = -((f - 1) * M)
         self._sph0 = jnp.asarray(((fr * abs0) % W).astype(np.int32))
 
+    # Donating this chain's state is a measured LOSS: the donated P/ramp
+    # factors drove XLA to a 228 s compile and 2.8 Gsps vs 9.2 un-donated
+    # at the config-3 shape (tools/perf_api_fold_probe.py, 2026-08-20).
+    donate_state = False
+
     def init_state(self):
         # device copies: the 32 MB-class P/ramp factors ride the state so
-        # they cross the jit boundary as arguments AND survive donation
-        return (self._sph0, ddc_carrier_init(self.cfg, self.block_len),
+        # they cross the jit boundary as arguments; the small phase
+        # vectors are copied too so the masters survive a donating caller
+        return (jnp.copy(self._sph0),
+                ddc_carrier_init(self.cfg, self.block_len),
                 jnp.float32(0.0),
                 C(jnp.copy(self._P.re), jnp.copy(self._P.im)),
                 C(jnp.copy(self._ramp.re), jnp.copy(self._ramp.im)))

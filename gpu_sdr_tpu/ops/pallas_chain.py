@@ -317,3 +317,254 @@ class TonesDirectChain:
         """One block: (state', y (nb, Cp))."""
         state, y = self.multi_step(state, 1)
         return state, y
+
+
+# ----------------------------------------------------------------------
+# Shift-fold kernel: the whole f-tap loop folded into ONE dot
+# ----------------------------------------------------------------------
+
+def _fold_kernel(R: int, self_ramp: bool, *refs):
+    """One (R, C') output tile of the SHIFT-FOLD chain (the algebra of
+    ops/fold_chain.py in the single-HBM-pass form of TonesDirectChain):
+    P[r+j, t] = P[r, t] * e^{2j pi f_t j M / W} folds the f tap dots into
+    ONE Karatsuba dot against G2[t, c] = sum_j shift[t, j] G[j, t, c], so
+    there is no halo machinery at all — per tile: rotate the P rows,
+    split, 3 MXU passes of (R, C_t) x (C_t, C'), ramp + DDC rotation,
+    write.  Grid = (K * nr,) exactly like TonesDirectChain.
+
+    With self_ramp (rx tone list == tx tone list), the carrier ramp is
+    EXACTLY conj(P) (carrier_ramp vs the P phase table: identical integer
+    phases, opposite sign), so the ramp is never streamed — a third of
+    the chain's HBM traffic removed."""
+    if self_ramp:
+        (pr_ref, pi_ref,
+         grh_ref, grl_ref, gih_ref, gil_ref, gsh_ref, gsl_ref,
+         sr_ref, si_ref, qdr_ref, qdi_ref,
+         yr_ref, yi_ref) = refs
+    else:
+        (pr_ref, pi_ref,
+         grh_ref, grl_ref, gih_ref, gil_ref, gsh_ref, gsl_ref,
+         rr_ref, ri_ref,
+         sr_ref, si_ref, qdr_ref, qdi_ref,
+         yr_ref, yi_ref) = refs
+    sr_row, si_row = sr_ref[0:1], si_ref[0:1]
+    dr_row, di_row = qdr_ref[0:1], qdi_ref[0:1]
+    pr, pi = pr_ref[:], pi_ref[:]
+    tr = pr * sr_row - pi * si_row
+    ti = pr * si_row + pi * sr_row
+    pr_hi, pr_lo = _hilo(tr)
+    pi_hi, pi_lo = _hilo(ti)
+    ps_hi, ps_lo = _hilo(tr + ti)
+    rr = _psdot(pr_hi, pr_lo, grh_ref[:], grl_ref[:])
+    ii = _psdot(pi_hi, pi_lo, gih_ref[:], gil_ref[:])
+    ri = _psdot(ps_hi, ps_lo, gsh_ref[:], gsl_ref[:])
+    acc_r, acc_i = rr - ii, ri - rr - ii
+    if self_ramp:
+        ramp_r, ramp_i = pr, -pi
+    else:
+        ramp_r, ramp_i = rr_ref[:], ri_ref[:]
+    t_r = acc_r * ramp_r - acc_i * ramp_i
+    t_i = acc_r * ramp_i + acc_i * ramp_r
+    yr_ref[:] = t_r * dr_row - t_i * di_row
+    yi_ref[:] = t_r * di_row + t_i * dr_row
+
+
+@dataclasses.dataclass
+class TonesDirectFoldKernel:
+    """Single-kernel shift-fold TONES->DIRECT loopback.
+
+    The exact algebra of ops/fold_chain.TonesDirectFoldChain executed in
+    ONE HBM pass per block: where the XLA fold chain pays ~6 elementwise
+    round trips of the (nb, C_t)/(nb, C') working set (rotate, matmul at
+    HIGH = 3 reads, ramp, rotate, scan-stack), this kernel reads the P
+    tile and the ramp tile once and writes the output tile once — with
+    only 3 MXU passes per tile vs the G-fused kernel's 3f
+    (ops/pallas_chain.TonesDirectChain).  The stream's first-block
+    startup transient (zero FIR history) is restored OUTSIDE the kernel:
+    a (f-1)-row correction against the partial folds G2p, gated by the
+    prev_valid flag — touching f-1 rows of one block per acquisition.
+
+    Replaces the same reference chain: tone_gen (cpp/kernels.cu:589-684)
+    + direct_demodulator_integer (:45-86) + per-channel FIR
+    (cpp/fir.cu:83-88) for the --sw_loop TONES->DIRECT path.
+    """
+
+    rate: int
+    tx_freqs: Tuple[int, ...]
+    tx_ampls: Tuple[float, ...]
+    cfg: DirectDDCConfig
+    block_len: int
+    scale: float = 1.0
+    interpret: bool | None = None
+    rows: int | None = None  # tile height override (perf tuning)
+
+    def __post_init__(self):
+        W, L, M, f = self.rate, self.block_len, self.cfg.M, self.cfg.f
+        self.ok = (self.cfg.decim > 0 and L % M == 0
+                   and len(self.tx_freqs) > 0 and f >= 1)
+        if not self.ok:
+            return
+        nb = L // M
+        Ct, Cp = len(self.tx_freqs), self.cfg.n_channels
+        self.nb, self.Ct, self.Cp = nb, Ct, Cp
+        self.R = (self.rows if self.rows is not None
+                  else _pick_rows(nb, Ct, Cp, 1))
+        self.ok = bool(self.R) and nb % self.R == 0
+        if not self.ok:
+            return
+        # rx tone list == tx tone list (mod W) -> the carrier ramp is
+        # exactly conj(P): never streamed (1/3 of the HBM traffic)
+        self.self_ramp = (
+            tuple(int(f) % W for f in self.cfg.freqs) ==
+            tuple(int(f) % W for f in self.tx_freqs))
+        fr = np.asarray(self.tx_freqs, dtype=np.int64) % W
+        n = np.arange(nb, dtype=np.int64)
+        m = np.arange(M, dtype=np.int64)
+        j = np.arange(f, dtype=np.int64)
+        # P, Q, G, G2 from exact integer phases (float64) — identical
+        # math to ops/fold_chain.py
+        P = np.exp(2j * np.pi *
+                   (((fr[None, :] * ((n[:, None] * M) % W)) % W)
+                    / float(W)))
+        Q = (np.asarray(self.tx_ampls, dtype=np.float64)[:, None] *
+             np.exp(2j * np.pi * (((fr[:, None] * m[None, :]) % W)
+                                  / float(W)))) * self.scale
+        hmod = self.cfg.modulated_taps_np()          # (f*M, Cp) float64
+        G = np.einsum("tm,jmc->jtc", Q, hmod.reshape(f, M, Cp))
+        shift = np.exp(2j * np.pi *
+                       (((fr[:, None] * ((j[None, :] * M) % W)) % W)
+                        / float(W)))
+        G2 = np.einsum("tj,jtc->tc", shift, G)
+        # startup partial folds: output row r of the stream's first block
+        # misses taps j < f-1-r (zero history, GoldenFIR semantics)
+        G2p = np.stack([
+            np.einsum("tj,jtc->tc", shift[:, :f - 1 - r], G[:f - 1 - r])
+            for r in range(f - 1)]) if f > 1 else np.zeros((0, Ct, Cp))
+        self._P = cplx.const(P.astype(np.complex64))
+        g_re = G2.real.astype(np.float32)
+        g_im = G2.imag.astype(np.float32)
+        self._G2 = tuple(jnp.asarray(a) for pair in
+                         (_np_hilo(g_re), _np_hilo(g_im),
+                          _np_hilo(g_re + g_im)) for a in pair)
+        self._G2p = cplx.const(G2p.astype(np.complex64))
+        self._ramp = self.cfg.carrier_ramp(nb)
+        self._sstep = jnp.asarray(((fr * L) % W).astype(np.int32))
+        from .ddc import ddc_carrier_step
+        self._dstep = ddc_carrier_step(self.cfg, L)
+        abs0 = -((f - 1) * M)
+        self._sph0 = jnp.asarray(((fr * abs0) % W).astype(np.int32))
+
+    def init_state(self):
+        from .ddc import ddc_carrier_init
+        # copy: the master _sph0 must survive a donating caller
+        return (jnp.copy(self._sph0),
+                ddc_carrier_init(self.cfg, self.block_len),
+                jnp.float32(0.0))
+
+    # per-block rotation staging shared with the G-fused chain
+    _phase_offsets = TonesDirectChain._phase_offsets
+
+    def block_rotations(self, state, K: int):
+        """(state', srots (K*8, Ct), drots (K*8, Cp)) — no halo rotations:
+        the fold has no halo rows."""
+        sph, dph, pv = state
+        W, Ct, Cp = self.rate, self.Ct, self.Cp
+        two_pi_w = jnp.float32(2.0 * np.pi / W)
+        soffs = self._phase_offsets(np.asarray(self._sstep), K, Ct)
+        sphs = sph[None, :] + soffs
+        sphs = jnp.where(sphs >= W, sphs - W, sphs)
+        srots = cplx.expi(sphs.astype(jnp.float32) * two_pi_w)
+        doffs = self._phase_offsets(np.asarray(self._dstep), K, Cp)
+        dphs = dph[None, :] + doffs
+        dphs = jnp.where(dphs >= W, dphs - W, dphs)
+        drots = cplx.expi_neg(dphs.astype(jnp.float32) * two_pi_w)
+        rep8 = lambda a: C(jnp.repeat(a.re, 8, axis=0),
+                           jnp.repeat(a.im, 8, axis=0))
+        sK = self._phase_offsets(np.asarray(self._sstep), K + 1, Ct)[K]
+        dK = self._phase_offsets(np.asarray(self._dstep), K + 1, Cp)[K]
+        new_sph = sph + sK
+        new_sph = jnp.where(new_sph >= W, new_sph - W, new_sph)
+        new_dph = dph + dK
+        new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
+        return ((new_sph, new_dph, jnp.float32(1.0)),
+                rep8(srots), rep8(drots))
+
+    def invoke(self, P, G2, ramp, srots, drots, K: int,
+               interpret: bool | None = None):
+        """Run the fold kernel over K blocks; returns y (K*nb, Cp)."""
+        import jax.experimental.pallas as pl
+        R = self.R
+        nb_loc = P.shape[0]
+        Ct, Cp = P.shape[1], G2[0].shape[1]
+        nr = nb_loc // R
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        self_ramp = self.self_ramp
+        kernel = functools.partial(_fold_kernel, R, self_ramp)
+        out_shape = (jax.ShapeDtypeStruct((K * nb_loc, Cp), jnp.float32),
+                     jax.ShapeDtypeStruct((K * nb_loc, Cp), jnp.float32))
+        per_blk = lambda r: (r // nr, 0)
+        in_blk = lambda r: (r % nr, 0)
+        g_spec = pl.BlockSpec((Ct, Cp), lambda r: (0, 0))
+        ramp_specs = [] if self_ramp else [
+            pl.BlockSpec((R, Cp), in_blk),                   # ramp re
+            pl.BlockSpec((R, Cp), in_blk),                   # ramp im
+        ]
+        ramp_args = () if self_ramp else (ramp.re, ramp.im)
+        y_re, y_im = pl.pallas_call(
+            kernel,
+            grid=(K * nr,),
+            in_specs=[
+                pl.BlockSpec((R, Ct), in_blk),               # P re
+                pl.BlockSpec((R, Ct), in_blk),               # P im
+                g_spec, g_spec,                              # G2 re hi/lo
+                g_spec, g_spec,                              # G2 im hi/lo
+                g_spec, g_spec,                              # G2 sum hi/lo
+                *ramp_specs,
+                pl.BlockSpec((8, Ct), per_blk),              # srot re
+                pl.BlockSpec((8, Ct), per_blk),              # srot im
+                pl.BlockSpec((8, Cp), per_blk),              # drot re
+                pl.BlockSpec((8, Cp), per_blk),              # drot im
+            ],
+            out_specs=(
+                pl.BlockSpec((R, Cp), lambda r: (r, 0)),
+                pl.BlockSpec((R, Cp), lambda r: (r, 0)),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(P.re, P.im, *G2, *ramp_args,
+          srots.re, srots.im, drots.re, drots.im)
+        return C(y_re, y_im)
+
+    def multi_step(self, state, K: int):
+        """Demodulate K consecutive blocks in ONE kernel invocation."""
+        f, W = self.cfg.f, self.rate
+        sph0, dph0, pv = state
+        state, srots, drots = self.block_rotations(state, K)
+        y = self.invoke(self._P, self._G2, self._ramp, srots, drots, K,
+                        self.interpret)
+        if f > 1:
+            # restore the zero-history startup transient on the stream's
+            # first block (pv = 0): remove the missing taps' contribution
+            # from the first f-1 rows — y rows already carry ramp + DDC
+            # rotation, so the correction does too
+            two_pi_w = jnp.float32(2.0 * np.pi / W)
+            srot0 = cplx.expi(sph0.astype(jnp.float32) * two_pi_w)
+            drot0 = cplx.expi_neg(dph0.astype(jnp.float32) * two_pi_w)
+            h = cplx.mul(self._P[:f - 1],
+                         C(srot0.re[None, :], srot0.im[None, :]))
+            G2p = self._G2p
+            cr = (jnp.einsum("rt,rtc->rc", h.re, G2p.re) -
+                  jnp.einsum("rt,rtc->rc", h.im, G2p.im))
+            ci = (jnp.einsum("rt,rtc->rc", h.re, G2p.im) +
+                  jnp.einsum("rt,rtc->rc", h.im, G2p.re))
+            corr = cplx.mul(cplx.mul(C(cr, ci), self._ramp[:f - 1]),
+                            C(drot0.re[None, :], drot0.im[None, :]))
+            g = jnp.float32(1.0) - pv
+            y = C(y.re.at[:f - 1].add(-g * corr.re),
+                  y.im.at[:f - 1].add(-g * corr.im))
+        return state, y
+
+    def step(self, state):
+        state, y = self.multi_step(state, 1)
+        return state, y

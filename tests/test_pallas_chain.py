@@ -132,3 +132,78 @@ def test_chain_multi_step_equals_sequential():
     assert np.array_equal(np.concatenate(seq, axis=0), cplx.to_np(ym))
     assert np.array_equal(np.asarray(st[0]), np.asarray(st2[0]))
     assert np.array_equal(np.asarray(st[1]), np.asarray(st2[1]))
+
+
+# ----------------------------------------------------------------------
+# Shift-fold kernel (TonesDirectFoldKernel): the fold_chain algebra in
+# one HBM pass
+# ----------------------------------------------------------------------
+
+from gpu_sdr_tpu.ops.pallas_chain import TonesDirectFoldKernel
+
+
+@pytest.mark.parametrize("n_tx,n_rx,M,f,L", [
+    (5, 3, 10, 4, 480),
+    (2, 2, 16, 2, 512),
+    (4, 1, 8, 8, 1024),
+])
+def test_fold_kernel_matches_composed(n_tx, n_rx, M, f, L):
+    rate = 10_000
+    tx_freqs = tuple(int(x) for x in np.linspace(-3000, 3000, n_tx))
+    ampls = tuple(0.3 + 0.1 * i for i in range(n_tx))
+    rx_freqs = tx_freqs[:n_rx]
+    dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                           freqs=rx_freqs, phases=(0,) * n_rx)
+    ref = composed_blocks(rate, tx_freqs, ampls, dcfg, L, 4)
+    chain = TonesDirectFoldKernel(rate=rate, tx_freqs=tx_freqs,
+                                  tx_ampls=ampls, cfg=dcfg, block_len=L,
+                                  interpret=True)
+    assert chain.ok
+    state = chain.init_state()
+    outs = []
+    step = jax.jit(chain.step)
+    for _ in range(4):
+        state, y = step(state)
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs, axis=0)
+    assert out.shape == ref.shape
+    snr = golden.snr_db(ref.ravel(), out.ravel())
+    assert snr > 90.0, f"SNR {snr:.1f} dB"
+    # the startup rows specifically (the outside-the-kernel correction)
+    snr0 = golden.snr_db(ref[:f - 1].ravel(), out[:f - 1].ravel()) \
+        if f > 1 else 999.0
+    assert snr0 > 80.0, f"startup rows SNR {snr0:.1f} dB"
+
+
+def test_fold_kernel_matches_fold_chain_and_multi_step():
+    """The kernel form must agree with the XLA fold chain (same algebra)
+    and its K-block grid invocation with the sequential one."""
+    from gpu_sdr_tpu.ops.fold_chain import TonesDirectFoldChain
+    rate = 1_000_000
+    freqs = tuple(int(x) for x in np.linspace(-450_000, 450_000, 24))
+    ampls = (0.05,) * len(freqs)
+    dcfg = DirectDDCConfig(rate=rate, decim=20, pf_average=4,
+                           freqs=freqs, phases=(0,) * len(freqs))
+    L = 8_000
+    xla = TonesDirectFoldChain(rate=rate, tx_freqs=freqs, tx_ampls=ampls,
+                               cfg=dcfg, block_len=L)
+    krn = TonesDirectFoldKernel(rate=rate, tx_freqs=freqs, tx_ampls=ampls,
+                                cfg=dcfg, block_len=L, interpret=True)
+    assert xla.ok and krn.ok
+
+    sx = xla.init_state()
+    sx, yx = xla.multi_step(sx, 4)
+    sk = krn.init_state()
+    sk, yk = krn.multi_step(sk, 4)
+    snr = golden.snr_db(cplx.to_np(yx).ravel(), cplx.to_np(yk).ravel())
+    assert snr > 90.0, f"kernel vs XLA fold SNR {snr:.1f} dB"
+
+    # K-block grid == sequential single blocks (state carry across calls)
+    sk2 = krn.init_state()
+    outs = []
+    for _ in range(4):
+        sk2, y1 = krn.multi_step(sk2, 1)
+        outs.append(cplx.to_np(y1))
+    seq = np.concatenate(outs, axis=0)
+    snr2 = golden.snr_db(seq.ravel(), cplx.to_np(yk).ravel())
+    assert snr2 > 120.0, f"multi vs sequential SNR {snr2:.1f} dB"

@@ -241,3 +241,40 @@ def test_transposed_replay_kernel_matches_rowmajor_onchip():
         sb, yb = b.multi_step(sb)
         snr = golden.snr_db(cplx.to_np(ya), cplx.to_np(yb))
         assert snr > 110, f"transposed vs row-major on chip: {snr:.1f} dB"
+
+
+def test_fold_kernel_matches_golden_onchip():
+    """ops/pallas_chain.TonesDirectFoldKernel (shift-fold chain in one
+    HBM pass, incl. the self-ramp fast path) vs the float64 comb+demod
+    oracle — the round-3 config-3 production chain, compiled by Mosaic
+    (the CPU suite runs it only in interpret mode)."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectFoldKernel
+
+    rate, M, f, L = 1_000_000, 10, 4, 80_000
+    tx_freqs = tuple(int(x) for x in np.linspace(-300_000, 300_000, 20))
+    ampls = tuple(0.05 + 0.01 * (i % 5) for i in range(20))
+    for rx_freqs, label in ((tx_freqs, "self_ramp"),
+                            (tx_freqs[:10], "ramp_streamed")):
+        dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                               freqs=rx_freqs,
+                               phases=(0,) * len(rx_freqs))
+        chain = TonesDirectFoldKernel(rate=rate, tx_freqs=tx_freqs,
+                                      tx_ampls=ampls, cfg=dcfg,
+                                      block_len=L, interpret=False)
+        assert chain.ok
+        assert chain.self_ramp == (label == "self_ramp")
+        n_blocks = 3
+        state = chain.init_state()
+        state, y = jax.jit(
+            lambda st: chain.multi_step(st, n_blocks))(state)
+        got = cplx.to_np(y).T
+
+        x = golden.tone_block(tx_freqs, ampls, rate, 0, n_blocks * L)
+        gold = golden.GoldenDirectDemodulator(list(rx_freqs), rate, M, f)
+        ref = np.concatenate(
+            [gold(x[i * L:(i + 1) * L]) for i in range(n_blocks)], axis=1)
+        snr = golden.snr_db(ref, got)
+        assert snr > 85, f"{label} fold kernel vs oracle: {snr:.1f} dB"
