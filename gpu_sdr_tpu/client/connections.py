@@ -155,7 +155,12 @@ class Connection:
                     break
         finally:
             if not self._stop.is_set():
-                if not self.end_of_measure.is_set():
+                # data-socket EOF races the EOM ack on the async socket:
+                # a one-shot server sends its EOM and exits, closing both
+                # sockets — under load this thread can observe the EOF
+                # before the async thread has parsed the EOM.  Give the
+                # in-flight ack a grace window before declaring an error.
+                if not self.end_of_measure.wait(timeout=1.0):
                     self.error_status.set()
                 self.end_of_measure.set()
 
