@@ -396,6 +396,7 @@ class TonesDirectFoldKernel:
     block_len: int
     scale: float = 1.0
     interpret: bool | None = None
+    time_shards: int = 1     # tile rows must divide the per-shard rows
     rows: int | None = None  # tile height override (perf tuning)
 
     def __post_init__(self):
@@ -407,9 +408,10 @@ class TonesDirectFoldKernel:
         nb = L // M
         Ct, Cp = len(self.tx_freqs), self.cfg.n_channels
         self.nb, self.Ct, self.Cp = nb, Ct, Cp
-        self.R = (self.rows if self.rows is not None
-                  else _pick_rows(nb, Ct, Cp, 1))
-        self.ok = bool(self.R) and nb % self.R == 0
+        nbt = nb // self.time_shards if nb % self.time_shards == 0 else 0
+        self.R = ((self.rows if self.rows is not None
+                   else _pick_rows(nbt, Ct, Cp, 1)) if nbt else 0)
+        self.ok = bool(self.R) and bool(nbt) and nbt % self.R == 0
         if not self.ok:
             return
         # rx tone list == tx tone list (mod W) -> the carrier ramp is

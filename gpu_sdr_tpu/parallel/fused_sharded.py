@@ -388,9 +388,12 @@ class ShardedFusedDirect:
     blocks_per_exec: int = 8
     block_len: int = 1_000_000
 
+    use_fold: bool = True    # prefer the shift-fold kernel when it tiles
+
     def __post_init__(self):
         from ..ops.ddc import DirectDDCConfig
-        from ..ops.pallas_chain import TonesDirectChain
+        from ..ops.pallas_chain import (TonesDirectChain,
+                                        TonesDirectFoldKernel)
         tx, rx, mesh, L = self.tx, self.rx, self.mesh, self.block_len
         assert tx.wave_type and tx.wave_type[0] == WaveType.TONES
         assert rx.wave_type and rx.wave_type[0] == WaveType.DIRECT
@@ -403,9 +406,26 @@ class ShardedFusedDirect:
             rate=int(rx.rate), decim=int(rx.decim),
             pf_average=int(rx.pf_average), freqs=rx_freqs,
             phases=(0,) * len(rx_freqs))
-        self.chain = TonesDirectChain(
-            rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls, cfg=dcfg,
-            block_len=L, time_shards=self.T)
+        # shift-fold kernel first (no halo machinery at all: P rows shard
+        # over 'time', G2 columns over 'channels', zero collectives);
+        # fall back to the G-fused chain when it doesn't tile
+        self.fold = None
+        if self.use_fold:
+            fold = TonesDirectFoldKernel(
+                rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls,
+                cfg=dcfg, block_len=L, time_shards=self.T)
+            if fold.ok and fold.Cp % self.Kc == 0:
+                if self.Kc > 1:
+                    # the self-ramp shortcut reads the ramp off the P
+                    # tile, whose columns are the FULL tx set while the
+                    # output tile carries only the channel shard's
+                    # columns — stream the sharded ramp instead
+                    fold.self_ramp = False
+                self.fold = fold
+        self.chain = self.fold if self.fold is not None else \
+            TonesDirectChain(
+                rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls,
+                cfg=dcfg, block_len=L, time_shards=self.T)
         self.ok = (self.chain.ok and
                    self.chain.Cp % self.Kc == 0 and
                    self.chain.nb % self.T == 0)
@@ -413,7 +433,66 @@ class ShardedFusedDirect:
             return
         self.n_tones = self.chain.Cp             # run() metadata
         self.ft = self.chain.nb // self.T        # output rows per shard
-        self._build()
+        if self.fold is not None:
+            self._build_fold()
+        else:
+            self._build()
+
+    def _build_fold(self):
+        """SPMD program around the shift-fold kernel: P/ramp rows over
+        'time', G2/drot columns over 'channels', srots replicated — no
+        halo rows, no halo rotations, no collectives.  The stream's
+        first-block startup correction is applied on the GLOBAL output
+        (its f-1 rows live on time shard 0), outside the shard_map."""
+        import jax.numpy as jnp
+        mesh = self.mesh
+        time_ax = "time" if "time" in mesh.axis_names else None
+        ch_ax = "channels" if "channels" in mesh.axis_names else None
+        chain = self.fold
+        K = self.blocks_per_exec
+        f, W = chain.cfg.f, chain.rate
+
+        def spmd(Pl, G2, rampl, srots, drots):
+            y = chain.invoke(Pl, G2, rampl, srots, drots, K)
+            return y.reshape(K, Pl.shape[0], G2[0].shape[1])
+
+        smapped = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(_cpair(time_ax),            # P rows
+                      (P(None, ch_ax),) * 6,      # folded G2 constant
+                      _cpair(time_ax, ch_ax),     # ramp
+                      _cpair(None),               # srots (replicated)
+                      _cpair(None, ch_ax)),       # drots
+            out_specs=_cpair(None, time_ax, ch_ax),
+            check_vma=False)
+
+        @jax.jit
+        def exec_fn(state):
+            sph0, dph0, pv = state
+            state2, srots, drots = chain.block_rotations(state, K)
+            ys = smapped(chain._P, chain._G2, chain._ramp, srots, drots)
+            if f > 1:
+                # zero-history startup rows of the stream's first block
+                # (same correction as the single-chip multi_step)
+                two_pi_w = jnp.float32(2.0 * np.pi / W)
+                srot0 = cplx.expi(sph0.astype(jnp.float32) * two_pi_w)
+                drot0 = cplx.expi_neg(dph0.astype(jnp.float32) * two_pi_w)
+                h = cplx.mul(chain._P[:f - 1],
+                             C(srot0.re[None, :], srot0.im[None, :]))
+                G2p = chain._G2p
+                cr = (jnp.einsum("rt,rtc->rc", h.re, G2p.re) -
+                      jnp.einsum("rt,rtc->rc", h.im, G2p.im))
+                ci = (jnp.einsum("rt,rtc->rc", h.re, G2p.im) +
+                      jnp.einsum("rt,rtc->rc", h.im, G2p.re))
+                corr = cplx.mul(
+                    cplx.mul(C(cr, ci), chain._ramp[:f - 1]),
+                    C(drot0.re[None, :], drot0.im[None, :]))
+                g = jnp.float32(1.0) - pv
+                ys = C(ys.re.at[0, :f - 1].add(-g * corr.re),
+                       ys.im.at[0, :f - 1].add(-g * corr.im))
+            return state2, ys
+
+        self._exec = exec_fn
 
     def _build(self):
         mesh = self.mesh

@@ -280,10 +280,13 @@ def test_sharded_fused_direct_matches_golden():
     assert snr > 95.0, f"SNR {snr:.1f} dB"
 
 
-def test_sharded_fused_direct_matches_single_device_chain():
-    """Sharded chain == unsharded TonesDirectChain to f32 tolerance."""
+@pytest.mark.parametrize("use_fold", [True, False])
+def test_sharded_fused_direct_matches_single_device_chain(use_fold):
+    """Sharded chain == its unsharded kernel to f32 tolerance — both the
+    shift-fold path (default) and the G-fused fallback."""
     from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
-    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectChain
+    from gpu_sdr_tpu.ops.pallas_chain import (TonesDirectChain,
+                                              TonesDirectFoldKernel)
     from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedDirect
     rate, decim, pfa = 1_000_000, 10, 4
     freqs = (12_345, -67_891)
@@ -291,15 +294,17 @@ def test_sharded_fused_direct_matches_single_device_chain():
     L = 40_000
     tx, rx = _direct_params(rate, freqs, ampls, decim, pfa, L)
     sf = ShardedFusedDirect(tx, rx, _mesh(2, 2), blocks_per_exec=3,
-                            block_len=L)
+                            block_len=L, use_fold=use_fold)
     assert sf.ok
+    assert (sf.fold is not None) == use_fold
     st, ys = sf.run_exec(sf.init_state())
     out = cplx.to_np(ys).reshape(-1, len(freqs))
 
     dcfg = DirectDDCConfig(rate=rate, decim=decim, pf_average=pfa,
                            freqs=freqs, phases=(0, 0))
-    chain = TonesDirectChain(rate=rate, tx_freqs=freqs, tx_ampls=ampls,
-                             cfg=dcfg, block_len=L, interpret=True)
+    cls = TonesDirectFoldKernel if use_fold else TonesDirectChain
+    chain = cls(rate=rate, tx_freqs=freqs, tx_ampls=ampls,
+                cfg=dcfg, block_len=L, interpret=True)
     st2, ym = chain.multi_step(chain.init_state(), 3)
     ref = cplx.to_np(ym)
     assert golden.snr_db(ref, out) > 100.0
