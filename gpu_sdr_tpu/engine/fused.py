@@ -348,9 +348,16 @@ class _ChannelizerWavetableChain:
 
 class _ChirpWavetableChain:
     """One-period chirp wavetable (generated on device at build) + the
-    in-place lock-in kernel (ops/pallas_lockin.pallas_chirp_lockin_at).
+    TABLE-OSCILLATOR lock-in kernel
+    (ops/pallas_lockin.pallas_chirp_lockin_table): the demod oscillator
+    is READ from the resident period instead of recomputed per sample —
+    in-kernel sincos measured 18.6 vs 40.6 Gsps for the table form at
+    the config-2 shape, bit-identical output
+    (tools/perf_chirp_table.py, 2026-08-20).  In the loopback the signal
+    IS the wavetable, so oscillator and signal rows stream from the same
+    buffer; the TX amplitude is folded into the lock-in profile.
     Streaming state: (uint32 chirp phase position, int32 period-block
-    index)."""
+    index) — the phase position rides along for checkpoint parity."""
 
     def __init__(self, cfg, L: int, ppt: int, scale: float):
         import jax.numpy as jnp
@@ -360,7 +367,11 @@ class _ChirpWavetableChain:
         self.cfg, self.L, self.ppt = cfg, L, ppt
         self.nseg_pb = L // ppt
         self.nblk = cfg.period // L
-        self.profile = jnp.asarray(lockin_ops.lockin_profile(ppt))
+        # y = sum_k w_k * conj(scale*c) * (scale*c) = scale^2 * sum w|c|^2;
+        # the demod contract is conj(c) * x with a UNIT oscillator, so
+        # one scale factor divides back out through the profile
+        self.profile = jnp.asarray(lockin_ops.lockin_profile(ppt) /
+                                   (scale if scale else 1.0))
 
         @jax.jit
         def gen_period():
@@ -389,16 +400,20 @@ class _ChirpWavetableChain:
     def multi_step(self, state, K: int):
         import jax.numpy as jnp
         from ..ops.cplx import C
-        from ..ops.pallas_lockin import pallas_chirp_lockin_at
+        from ..ops.pallas_lockin import pallas_chirp_lockin_table
         last, idx, Xf = state
         nblk, nseg_pb = self.nblk, self.nseg_pb
+        L, period = self.L, self.cfg.period
 
         def body(carry, _):
             lst, i = carry
-            lst, y = pallas_chirp_lockin_at(self.cfg, self.profile, lst,
-                                            Xf, i, nseg_pb)
+            # oscillator and signal rows both stream from the resident
+            # period (the loopback signal IS the wavetable)
+            y = pallas_chirp_lockin_table(self.profile, Xf, Xf, i,
+                                          nseg_pb)
             nxt = i + 1
             nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+            lst = (lst + jnp.uint32(L % period)) % jnp.uint32(period)
             return (lst, nxt), C(y.re[:, None], y.im[:, None])
 
         (last, idx), ys = jax.lax.scan(body, (last, idx), None, length=K)

@@ -118,6 +118,74 @@ def fused_chirp_lockin(cfg: ChirpConfig, profile: jax.Array,
     return last, lockin_decimate(profile, z)
 
 
+def pallas_chirp_lockin_table(profile: jax.Array, C_full: C, X_full: C,
+                              blk_idx: jax.Array, nseg_pb: int,
+                              seg_tile: int = 8,
+                              interpret: bool | None = None) -> C:
+    """Table-oscillator lock-in: the demod chirp is READ from a resident
+    one-period wavetable instead of recomputed per sample.
+
+    The integer-accumulator chirp repeats exactly every period
+    (cpp/kernels.cu:335-372 quantization), so one period of the
+    oscillator in HBM serves the whole stream — the reference's TONES
+    wavetable trick (tone_gen pointer rotation,
+    cpp/USRP_buffer_generator.cpp:226-229) applied to the CHIRP
+    demodulator.  Per tile the kernel streams oscillator rows c and
+    signal rows x and reduces z = conj(c)*x against the lock-in profile:
+    pure MXU/elementwise work, no per-sample sincos on the VPU (the
+    measured cost of the in-kernel oscillator — see ROADMAP).
+
+    C_full/X_full: (total_nseg, ppt) period views, segment-aligned
+    (total_nseg a multiple of nseg_pb); blk_idx: int32 period-block
+    index (oscillator and signal advance in lock-step — the stream's
+    phase position mod period).  Returns y: C(nseg_pb,).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    ppt = profile.shape[0]
+    assert C_full.shape[1] == ppt and X_full.shape[1] == ppt
+    assert nseg_pb % seg_tile == 0
+    nr = nseg_pb // seg_tile
+    idx_arr = jnp.asarray(blk_idx, dtype=jnp.int32).reshape(1)
+
+    row_map = lambda s, i: (i[0] * nr + s, 0)
+
+    def kernel(idx_ref, cr_ref, ci_ref, xr_ref, xi_ref, w_ref,
+               or_ref, oi_ref):
+        cr, ci = cr_ref[:], ci_ref[:]
+        xr, xi = xr_ref[:], xi_ref[:]
+        zr = cr * xr + ci * xi            # conj(c) * x
+        zi = cr * xi - ci * xr
+        w = w_ref[:]
+        or_ref[:] = jnp.sum(zr * w[None, :], axis=1, keepdims=True)
+        oi_ref[:] = jnp.sum(zi * w[None, :], axis=1, keepdims=True)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((seg_tile, ppt), row_map),      # oscillator re
+            pl.BlockSpec((seg_tile, ppt), row_map),      # oscillator im
+            pl.BlockSpec((seg_tile, ppt), row_map),      # signal re
+            pl.BlockSpec((seg_tile, ppt), row_map),      # signal im
+            pl.BlockSpec((ppt,), lambda s, i: (0,)),     # profile
+        ],
+        out_specs=(
+            pl.BlockSpec((seg_tile, 1), lambda s, i: (s, 0)),
+            pl.BlockSpec((seg_tile, 1), lambda s, i: (s, 0)),
+        ),
+    )
+    out_shape = (jax.ShapeDtypeStruct((nseg_pb, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((nseg_pb, 1), jnp.float32))
+    o_re, o_im = pl.pallas_call(
+        kernel, grid_spec=gs, out_shape=out_shape, interpret=interpret,
+    )(idx_arr, C_full.re, C_full.im, X_full.re, X_full.im, profile)
+    return C(o_re[:, 0], o_im[:, 0])
+
+
 def pallas_chirp_lockin_at(cfg: ChirpConfig, profile: jax.Array,
                            last_index: jax.Array, X_full: C,
                            blk_idx: jax.Array, nseg_pb: int,

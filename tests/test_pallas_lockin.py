@@ -62,3 +62,49 @@ def test_pallas_fused_block_continuity():
     cp = golden.ChirpParameter(0, 200_000, rate, 50, 0.01)
     ref = golden.GoldenVNADecimator(ppt)(golden.chirp_demod(cp, 0, x))
     assert golden.snr_db(ref, out) > 90.0
+
+
+def test_table_oscillator_lockin_matches_golden():
+    """pallas_chirp_lockin_table: the demod oscillator READ from a
+    resident one-period wavetable (TONES wavetable trick applied to the
+    chirp demodulator) must match the golden chirp demod + lock-in on a
+    random signal, across period-block indices."""
+    import jax
+    from gpu_sdr_tpu.ops import chirp as chirp_ops
+    from gpu_sdr_tpu.ops.pallas_lockin import pallas_chirp_lockin_table
+
+    rate = 1_000_000
+    steps, chirp_t = 128, 0.0256
+    cfg = ChirpConfig.from_params(-300_000, 300_000, rate, steps, chirp_t)
+    ppt = cfg.length
+    period = cfg.period
+    nseg_pb = 32
+    L = nseg_pb * ppt
+    nblk = period // L
+    assert period % L == 0
+
+    # one oscillator period from the production generator
+    def body(last, _):
+        last, c = chirp_ops.chirp_block(cfg, last, L)
+        return last, c
+    _, cs = jax.lax.scan(body, jnp.uint32(0), None, length=nblk)
+    total_nseg = period // ppt
+    Cf = cplx.C(cs.re.reshape(total_nseg, ppt),
+                cs.im.reshape(total_nseg, ppt))
+
+    x = (RNG.standard_normal(period) + 1j * RNG.standard_normal(period)
+         ).astype(np.complex64)
+    Xf = cplx.from_np(x.reshape(total_nseg, ppt))
+    prof = jnp.asarray(lockin_profile(ppt))
+
+    cp = golden.ChirpParameter(-300_000, 300_000, rate, steps, chirp_t)
+    ref = golden.GoldenVNADecimator(ppt)(golden.chirp_demod(cp, 0, x))
+
+    outs = []
+    for i in range(nblk):
+        y = pallas_chirp_lockin_table(prof, Cf, Xf, jnp.int32(i),
+                                      nseg_pb, interpret=True)
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs)
+    snr = golden.snr_db(ref, out)
+    assert snr > 90.0, f"table-oscillator lock-in SNR {snr:.1f} dB"

@@ -278,3 +278,49 @@ def test_fold_kernel_matches_golden_onchip():
             [gold(x[i * L:(i + 1) * L]) for i in range(n_blocks)], axis=1)
         snr = golden.snr_db(ref, got)
         assert snr > 85, f"{label} fold kernel vs oracle: {snr:.1f} dB"
+
+
+def test_table_oscillator_lockin_matches_golden_onchip():
+    """ops/pallas_lockin.pallas_chirp_lockin_table (the config-2
+    production lock-in: demod oscillator READ from the resident period)
+    vs the golden chirp demod + lock-in, compiled by Mosaic."""
+    import jax
+    import jax.numpy as jnp
+    from gpu_sdr_tpu.ops import chirp as chirp_ops
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.chirp import ChirpConfig
+    from gpu_sdr_tpu.ops.lockin import lockin_profile
+    from gpu_sdr_tpu.ops.pallas_lockin import pallas_chirp_lockin_table
+
+    rate = 1_000_000
+    steps, chirp_t = 128, 0.0256
+    cfg = ChirpConfig.from_params(-300_000, 300_000, rate, steps, chirp_t)
+    ppt = cfg.length
+    period = cfg.period
+    nseg_pb = 32
+    L = nseg_pb * ppt
+    nblk = period // L
+
+    def body(last, _):
+        last, c = chirp_ops.chirp_block(cfg, last, L)
+        return last, c
+    _, cs = jax.lax.scan(body, jnp.uint32(0), None, length=nblk)
+    total_nseg = period // ppt
+    Cf = cplx.C(cs.re.reshape(total_nseg, ppt),
+                cs.im.reshape(total_nseg, ppt))
+
+    x = _noise(period)
+    Xf = cplx.from_np(x.reshape(total_nseg, ppt))
+    prof = jnp.asarray(lockin_profile(ppt))
+
+    cp = golden.ChirpParameter(-300_000, 300_000, rate, steps, chirp_t)
+    ref = golden.GoldenVNADecimator(ppt)(golden.chirp_demod(cp, 0, x))
+
+    outs = []
+    for i in range(nblk):
+        y = pallas_chirp_lockin_table(prof, Cf, Xf, jnp.int32(i),
+                                      nseg_pb, interpret=False)
+        outs.append(cplx.to_np(y))
+    out = np.concatenate(outs)
+    snr = golden.snr_db(ref, out)
+    assert snr > 85, f"table-oscillator lock-in vs oracle: {snr:.1f} dB"
