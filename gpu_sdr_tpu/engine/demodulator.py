@@ -156,6 +156,14 @@ def _build_pfb(p: AntennaParams, plan: BlockPlan,
                        else WaveType.TONES)
 
 
+# host-fed table-oscillator gate: the one-period demod wavetable is a
+# closure constant (it must not ride the checkpointed carry state), and
+# closure-captured arrays are inlined into remote-compile requests,
+# which the relay rejects for large buffers — big-period chirps stay on
+# the XLA path (where host-fed throughput is ingest-bound anyway)
+CHIRP_TABLE_MAX_BYTES = 64 << 20
+
+
 def _build_chirp(p: AntennaParams, plan: BlockPlan) -> Demodulator:
     """CHIRP: integer-phase chirp mix-down + lock-in segment average
     (reference process_chirp, cpp/USRP_demodulator.cpp:342-397)."""
@@ -166,6 +174,9 @@ def _build_chirp(p: AntennaParams, plan: BlockPlan) -> Demodulator:
     if decim > 0:
         ppt = length * decim
         profile = jnp.asarray(lockin_ops.lockin_profile(ppt))
+        table = _try_chirp_table_step(cfg, profile, plan, ppt)
+        if table is not None:
+            return table
 
         @jax.jit
         def step(last, x):
@@ -181,6 +192,54 @@ def _build_chirp(p: AntennaParams, plan: BlockPlan) -> Demodulator:
     return Demodulator(plan=plan, n_channels=1,
                        init_state=lambda: jnp.uint32(0), step=step,
                        wave_type=WaveType.CHIRP)
+
+
+def _try_chirp_table_step(cfg, profile, plan: BlockPlan, ppt: int):
+    """Host-fed table-oscillator chirp lock-in: demodulate incoming
+    blocks against a one-period wavetable generated once at build
+    (ops/pallas_lockin.pallas_chirp_lockin_table; see ROADMAP — the
+    table form measured 40.6 vs 18.6 Gsps for in-kernel sincos at the
+    config-2 shape).  Engages only when the block is period-commensurate
+    and the table fits the closure budget; carry state stays small:
+    (uint32 stream phase for checkpoint parity, int32 oscillator
+    block)."""
+    from ..config import use_pallas_pfb
+    if not use_pallas_pfb():
+        return None
+    L = plan.block_len
+    period = cfg.period
+    nseg_pb = L // ppt if ppt else 0
+    if not (ppt and L % ppt == 0 and nseg_pb % 8 == 0 and
+            period % L == 0 and period * 8 <= CHIRP_TABLE_MAX_BYTES):
+        return None
+    from ..ops.pallas_lockin import pallas_chirp_lockin_table
+    nblk_osc = period // L
+
+    @jax.jit
+    def gen_period():
+        def body(last, _):
+            last, x = chirp_ops.chirp_block(cfg, last, L)
+            return last, x
+        _, xs = jax.lax.scan(body, jnp.uint32(0), None, length=nblk_osc)
+        return xs
+
+    xs = gen_period()
+    Ct = C(xs.re.reshape(period // ppt, ppt),
+           xs.im.reshape(period // ppt, ppt))
+
+    @jax.jit
+    def step(state, x):
+        last, o = state
+        Xf = C(x.re.reshape(nseg_pb, ppt), x.im.reshape(nseg_pb, ppt))
+        y = pallas_chirp_lockin_table(profile, Ct, Xf, o, nseg_pb,
+                                      sig_idx=jnp.int32(0))
+        last = (last + jnp.uint32(L % period)) % jnp.uint32(period)
+        o = jnp.where(o + 1 >= nblk_osc, 0, o + 1)
+        return (last, o), C(y.re[:, None], y.im[:, None])
+
+    return Demodulator(plan=plan, n_channels=1,
+                       init_state=lambda: (jnp.uint32(0), jnp.int32(0)),
+                       step=step, wave_type=WaveType.CHIRP)
 
 
 def _build_nodsp(p: AntennaParams, plan: BlockPlan) -> Demodulator:

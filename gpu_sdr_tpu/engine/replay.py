@@ -238,6 +238,11 @@ class DeviceReplay:
         Xf = C(xc.re.reshape(n // ppt, ppt), xc.im.reshape(n // ppt, ppt))
         self.n_rec_blocks = nblk = n // L
         K = self.blocks_per_exec
+        period = cfg.period
+
+        if period % L == 0 and period * 8 <= DEVICE_REPLAY_MAX_BYTES:
+            return self._chirp_table_replay(cfg, profile, Xf, nblk,
+                                            nseg_pb, L, K)
 
         @jax.jit
         def multi(last, idx, Xf):
@@ -256,6 +261,60 @@ class DeviceReplay:
         self._Xarg = Xf
         self._kernel_state_init = lambda: jnp.uint32(0)
         return ("chirp", cfg)
+
+    def _chirp_table_replay(self, cfg, profile, Xf, nblk, nseg_pb, L, K):
+        """Table-oscillator chirp replay: the demod oscillator is READ
+        from a resident one-period wavetable (generated once at build)
+        instead of recomputed per sample — the in-kernel sincos is the
+        measured bottleneck of the replay lock-in (see ROADMAP; loopback
+        form measured 18.6 vs 40.6 Gsps, tools/perf_chirp_table.py).
+
+        The oscillator block index wraps mod period//L while the
+        recording index wraps mod the recording length; the kernel
+        streams both through separate scalar-prefetched indices
+        (pallas_chirp_lockin_table sig_idx).  Carried state: (uint32
+        stream phase for checkpoint parity, int32 oscillator block,
+        oscillator table riding the jit boundary as an argument)."""
+        from ..ops import chirp as chirp_ops
+        from ..ops.pallas_lockin import pallas_chirp_lockin_table
+        ppt = profile.shape[0]
+        period = cfg.period
+        nblk_osc = period // L
+
+        @jax.jit
+        def gen_period():
+            def body(last, _):
+                last, x = chirp_ops.chirp_block(cfg, last, L)
+                return last, x
+            _, xs = jax.lax.scan(body, jnp.uint32(0), None,
+                                 length=nblk_osc)
+            return xs
+
+        xs = gen_period()
+        Ct = C(xs.re.reshape(period // ppt, ppt),
+               xs.im.reshape(period // ppt, ppt))
+
+        @jax.jit
+        def multi(state, idx, Xf):
+            last, o, Ct = state
+            def body(carry, _):
+                lst, oo, i = carry
+                y = pallas_chirp_lockin_table(profile, Ct, Xf, oo,
+                                              nseg_pb, sig_idx=i)
+                lst = (lst + jnp.uint32(L % period)) % jnp.uint32(period)
+                oo = jnp.where(oo + 1 >= nblk_osc, 0, oo + 1)
+                nxt = i + 1
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+                return (lst, oo, nxt), C(y.re[:, None], y.im[:, None])
+            (last2, o2, idx2), ys = jax.lax.scan(
+                body, (last, o, idx), None, length=K)
+            return (last2, o2, Ct), idx2, ys
+
+        self._multi = multi
+        self._Xarg = Xf
+        self._kernel_state_init = lambda: (jnp.uint32(0), jnp.int32(0),
+                                           Ct)
+        return ("chirp_table", cfg)
 
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:

@@ -121,7 +121,8 @@ def fused_chirp_lockin(cfg: ChirpConfig, profile: jax.Array,
 def pallas_chirp_lockin_table(profile: jax.Array, C_full: C, X_full: C,
                               blk_idx: jax.Array, nseg_pb: int,
                               seg_tile: int = 8,
-                              interpret: bool | None = None) -> C:
+                              interpret: bool | None = None,
+                              sig_idx: jax.Array | None = None) -> C:
     """Table-oscillator lock-in: the demod chirp is READ from a resident
     one-period wavetable instead of recomputed per sample.
 
@@ -135,10 +136,16 @@ def pallas_chirp_lockin_table(profile: jax.Array, C_full: C, X_full: C,
     pure MXU/elementwise work, no per-sample sincos on the VPU (the
     measured cost of the in-kernel oscillator — see ROADMAP).
 
-    C_full/X_full: (total_nseg, ppt) period views, segment-aligned
-    (total_nseg a multiple of nseg_pb); blk_idx: int32 period-block
-    index (oscillator and signal advance in lock-step — the stream's
-    phase position mod period).  Returns y: C(nseg_pb,).
+    C_full/X_full: (total_nseg, ppt) period/recording views,
+    segment-aligned (each a multiple of nseg_pb rows); blk_idx: int32
+    OSCILLATOR period-block index (the stream's phase position mod
+    period).  sig_idx (optional, int32): separate SIGNAL block index
+    into X_full — used by the replay path, where the recording index
+    wraps mod the recording length while the oscillator index wraps mod
+    the chirp period (they coincide only when the recording is
+    period-commensurate).  Default: lock-step with blk_idx (the
+    loopback case, where the signal IS the wavetable).
+    Returns y: C(nseg_pb,).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -149,9 +156,13 @@ def pallas_chirp_lockin_table(profile: jax.Array, C_full: C, X_full: C,
     assert C_full.shape[1] == ppt and X_full.shape[1] == ppt
     assert nseg_pb % seg_tile == 0
     nr = nseg_pb // seg_tile
-    idx_arr = jnp.asarray(blk_idx, dtype=jnp.int32).reshape(1)
+    if sig_idx is None:
+        sig_idx = blk_idx
+    idx_arr = jnp.stack([jnp.asarray(blk_idx, dtype=jnp.int32),
+                         jnp.asarray(sig_idx, dtype=jnp.int32)])
 
     row_map = lambda s, i: (i[0] * nr + s, 0)
+    sig_map = lambda s, i: (i[1] * nr + s, 0)
 
     def kernel(idx_ref, cr_ref, ci_ref, xr_ref, xi_ref, w_ref,
                or_ref, oi_ref):
@@ -169,8 +180,8 @@ def pallas_chirp_lockin_table(profile: jax.Array, C_full: C, X_full: C,
         in_specs=[
             pl.BlockSpec((seg_tile, ppt), row_map),      # oscillator re
             pl.BlockSpec((seg_tile, ppt), row_map),      # oscillator im
-            pl.BlockSpec((seg_tile, ppt), row_map),      # signal re
-            pl.BlockSpec((seg_tile, ppt), row_map),      # signal im
+            pl.BlockSpec((seg_tile, ppt), sig_map),      # signal re
+            pl.BlockSpec((seg_tile, ppt), sig_map),      # signal im
             pl.BlockSpec((ppt,), lambda s, i: (0,)),     # profile
         ],
         out_specs=(

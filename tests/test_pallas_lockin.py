@@ -108,3 +108,41 @@ def test_table_oscillator_lockin_matches_golden():
     out = np.concatenate(outs)
     snr = golden.snr_db(ref, out)
     assert snr > 90.0, f"table-oscillator lock-in SNR {snr:.1f} dB"
+
+
+def test_hostfed_chirp_table_step_matches_xla(monkeypatch):
+    """The host-fed CHIRP demodulator uses the table-oscillator lock-in
+    when the block is period-commensurate (demodulator._try_chirp_table_step);
+    it must match the XLA chirp_demod_block + lockin_decimate path on a
+    streamed random signal across the period wrap."""
+    from gpu_sdr_tpu.engine.demodulator import make_demodulator
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rate = 1_000_000
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=64_000,
+                       samples=640_000, freq=[-300_000],
+                       chirp_f=[300_000], chirp_t=[0.128], swipe_s=[128],
+                       decim=1, wave_type=[WaveType.CHIRP])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    d_tab = make_demodulator(rx)
+    assert isinstance(d_tab.init_state(), tuple)   # table path engaged
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    d_xla = make_demodulator(rx)
+
+    L = d_tab.plan.block_len
+    assert L == d_xla.plan.block_len == 64_000
+    st_t, st_x = d_tab.init_state(), d_xla.init_state()
+    outs_t, outs_x = [], []
+    for k in range(5):                      # 320k samples: wraps 128k x2
+        x = (RNG.standard_normal(L) + 1j * RNG.standard_normal(L)
+             ).astype(np.complex64)
+        xc = cplx.from_np(x)
+        st_t, yt = d_tab.step(st_t, xc)
+        st_x, yx = d_xla.step(st_x, xc)
+        outs_t.append(cplx.to_np(yt))
+        outs_x.append(cplx.to_np(yx))
+    a = np.concatenate(outs_t)
+    b = np.concatenate(outs_x)
+    assert a.shape == b.shape
+    assert golden.snr_db(b, a) > 90.0

@@ -174,6 +174,37 @@ def test_chirp_replay_matches_scan_form(monkeypatch):
     assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
 
 
+def test_chirp_table_replay_matches_scan_form(monkeypatch):
+    """Table-oscillator chirp replay (period-commensurate block: the
+    demod oscillator is read from a resident one-period wavetable) must
+    match the XLA scan form while the recording index (mod 3 blocks) and
+    the oscillator index (mod 8 blocks) wrap out of phase."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    rate = 1_000_000
+    # swipe_s=128 over 0.128 s -> length=1000; period=128k; L=64k
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=64_000,
+                       samples=1_280_000, freq=[-300_000],
+                       chirp_f=[300_000], chirp_t=[0.128], swipe_s=[128],
+                       decim=1, wave_type=[WaveType.CHIRP])
+    L = 64_000
+    rec = (RNG.standard_normal(3 * L) + 1j * RNG.standard_normal(3 * L)
+           ).astype(np.complex64)
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr._kernel_path is not None
+    assert dr._kernel_path[0] == "chirp_table"
+    sink_k = MemorySink()
+    dr.run([sink_k])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    dr2 = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr2._kernel_path is None
+    sink_s = MemorySink()
+    dr2.run([sink_s])
+    assert sink_k.data.shape == sink_s.data.shape
+    assert golden.snr_db(sink_s.data, sink_k.data) > 90.0
+
+
 def test_transposed_replay_matches_rowmajor():
     """ReplayDDCT (few-channel transposed kernel: tap dots ride the
     sublane side, ramp/rotation post-multiplied in XLA) vs the row-major

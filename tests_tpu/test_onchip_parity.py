@@ -324,3 +324,15 @@ def test_table_oscillator_lockin_matches_golden_onchip():
     out = np.concatenate(outs)
     snr = golden.snr_db(ref, out)
     assert snr > 85, f"table-oscillator lock-in vs oracle: {snr:.1f} dB"
+
+    # replay form: the signal index diverges from the oscillator index
+    # (engine/replay._chirp_table_replay wraps them mod different
+    # cycles).  Reading block i out of the second copy of a doubled
+    # recording through sig_idx must reproduce the lock-step result.
+    X2 = cplx.C(jnp.concatenate([Xf.re, Xf.re]),
+                jnp.concatenate([Xf.im, Xf.im]))
+    y2 = pallas_chirp_lockin_table(prof, Cf, X2, jnp.int32(nblk - 1),
+                                   nseg_pb, interpret=False,
+                                   sig_idx=jnp.int32(2 * nblk - 1))
+    np.testing.assert_array_equal(cplx.to_np(y2),
+                                  out[(nblk - 1) * nseg_pb:])
