@@ -69,14 +69,15 @@ def main():
     def hard_sync(ys):
         return float(np.asarray(jax.device_get(ys.re.reshape(-1)[0])))
 
-    for seg_tile in (8, 40, 200):
+    for seg_tile in (8, 10, 20, 25, 40):
         multi = make_multi(seg_tile)
         o, i = jnp.int32(0), jnp.int32(0)
         try:
             o, i, ys = multi(o, i, Ct, Xf)
             hard_sync(ys)
         except Exception as e:
-            print(f"seg_tile={seg_tile}: FAILED {type(e).__name__}",
+            msg = str(e).splitlines()[0][:160]
+            print(f"seg_tile={seg_tile}: FAILED {type(e).__name__}: {msg}",
                   flush=True)
             continue
         best = 0.0
