@@ -147,9 +147,11 @@ def main():
         msps = bench_loopback_1000()
         # roofline attribution (VERDICT r1 #10): the chain executes the
         # two-stage DFT's (n1 + n2) complex MACs per sample (8 real flops
-        # each at the tensorfloat32 grade) and moves ~24 B/sample of HBM
-        # traffic (spectra write + select read/write; the raw block never
-        # exists in HBM).  Day ceilings: python tools/rig_probe.py.
+        # each at the tensorfloat32 grade) and moves 24 B/sample of HBM
+        # traffic (spectra write + select read + stack write; the raw
+        # block never exists in HBM) — per-stage byte counts corroborated
+        # by measurement (tools/perf_bench_ablate.py, docs/05).  Day
+        # ceilings: python tools/rig_probe.py.
         tflops = msps * 1e6 * (8 + 125) * 8 / 1e12
         hbm = msps * 1e6 * 24 / 1e9
         print(json.dumps({
