@@ -7,8 +7,12 @@ Ablates the bench.py chain per stage AT THE BENCH GEOMETRY (scan 32 x
            pair — the achieved read+write bandwidth for this layout
            (nominal 16 B/sample)
   select : select_tones_t of a resident spectra block, stacked by the
-           scan (dense transpose + lane roll; nominal 16 B/sample; a
-           carry-dependent bias defeats loop-invariant hoisting)
+           scan (dense transpose + lane roll).  The carry-dependent
+           bias is applied to the REAL half only — deliberately: XLA
+           then hoists the loop-invariant imaginary transpose out of
+           the scan, so the stage's effective traffic is 12 B/sample
+           (re read+write, im stack-write only), which is what the
+           docs/05 ladder documents and what this script prints.
   kernel : channelizer_frames_t alone, output sliced to 8 floats —
            the fused synth+PFB+DFT kernel's one HBM spectra write
            (nominal 8 B/sample)
@@ -83,7 +87,7 @@ def main():
     @jax.jit
     def run_select(c, fr):
         def body(c, _):
-            y = select_tones_t(C(fr.re + c, fr.im + c), bins_np, n1, n2)
+            y = select_tones_t(C(fr.re + c, fr.im), bins_np, n1, n2)
             return c + jnp.float32(1e-30), y
         return jax.lax.scan(body, c, None, length=K)
 
@@ -105,7 +109,7 @@ def main():
 
     variants = [
         ("io", lambda: run_io(jnp.float32(1), fr0), 16),
-        ("select", lambda: run_select(jnp.float32(0), fr0), 16),
+        ("select", lambda: run_select(jnp.float32(0), fr0), 12),
         ("kernel", lambda: run_kernel(s0), 8),
         ("full", lambda: run_full(s0), 24),
     ]
