@@ -44,6 +44,10 @@ class FusedLoopback:
         # the chain replaces TX generation entirely — don't materialize an
         # unused generator (a periodic comb's wavetable constant is ~MBs)
         self._chain = chain
+        # which chain this loopback actually runs — compared against
+        # engine/dispatch.plan_dispatch by tests/test_dispatch_table.py
+        self.path = (chain.path_name if chain is not None
+                     else "generic_scan")
         self.gen = None if chain is not None else make_generator(
             self.tx, block_len=self.demod.plan.block_len)
         if chain is not None:
@@ -280,6 +284,9 @@ class _ReplayLoopbackChain:
 
     def __init__(self, rk):
         self.rk = rk
+        from ..ops.pallas_replay import ReplayDDCT
+        self.path_name = ("replay_kernel_t" if isinstance(rk, ReplayDDCT)
+                          else "replay_kernel")
 
     def init_state(self):
         import jax.numpy as jnp
@@ -299,6 +306,8 @@ class _ChannelizerWavetableChain:
     """One comb wavetable frame + the fused channelizer kernel
     (ops/pallas_channelizer.channelizer_frames_t).  Streaming state: the
     (n1, avg-1, n2) transposed spare-frame carry."""
+
+    path_name = "channelizer_wavetable"
 
     def __init__(self, cfg, dft, freqs, ampls, L, full_spectrum, decim):
         import numpy as np
@@ -358,6 +367,8 @@ class _ChirpWavetableChain:
     buffer; the TX amplitude is folded into the lock-in profile.
     Streaming state: (uint32 chirp phase position, int32 period-block
     index) — the phase position rides along for checkpoint parity."""
+
+    path_name = "chirp_wavetable"
 
     def __init__(self, cfg, L: int, ppt: int, scale: float):
         import jax.numpy as jnp

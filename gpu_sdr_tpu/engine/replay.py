@@ -54,6 +54,19 @@ class DeviceReplay:
             self._kernel_path = self._try_pfb_replay(L, n)
         if self._kernel_path is None:
             self._kernel_path = self._try_chirp_replay(L, n)
+        # which replay form this recording actually rides — compared
+        # against engine/dispatch.plan_dispatch by test_dispatch_table
+        if self._kernel_path is None:
+            self.path = "scan"
+        elif isinstance(self._kernel_path, tuple):
+            self.path = {"pfb": "pfb_at", "chirp": "chirp_at",
+                         "chirp_table": "chirp_table"}[
+                             self._kernel_path[0]]
+        else:
+            from ..ops.pallas_replay import ReplayDDCT
+            self.path = ("replay_kernel_t"
+                         if isinstance(self._kernel_path, ReplayDDCT)
+                         else "replay_kernel")
         if self._kernel_path is not None:
             return
         nblk = max(1, -(-n // L))            # data blocks (tail padded)
@@ -352,3 +365,154 @@ def can_device_replay(source) -> bool:
     except AttributeError:
         return False
     return 0 < nbytes <= DEVICE_REPLAY_MAX_BYTES
+
+
+def can_segmented_replay(source) -> bool:
+    """True when the source is a recording too large for the one-upload
+    path: it rides SegmentedDeviceReplay (HBM-refill) instead of falling
+    all the way back to the per-block host-fed pipeline."""
+    from .sources import ArraySource, ReplaySource
+    if not isinstance(source, (ReplaySource, ArraySource)):
+        return False
+    try:
+        nbytes = source.data.size * 8        # complex64
+    except AttributeError:
+        return False
+    return nbytes > DEVICE_REPLAY_MAX_BYTES
+
+
+@dataclasses.dataclass
+class SegmentedDeviceReplay:
+    """Chunked HBM-refill replay for recordings larger than device
+    memory (VERDICT r3 #6).
+
+    The reference streams unbounded-duration input by construction (the
+    RX thread refills 1 Msample buffers forever,
+    cpp/USRP_hardware_manager.cpp:1398-1611); this framework's
+    equivalent is an hours-long recording, which cannot ride the
+    one-upload DeviceReplay once it exceeds the HBM budget.  Instead of
+    dropping to the per-block host-fed pipeline (every block over the
+    host link, one dispatch each), the recording is cut into
+    fixed-shape segments of `seg_blocks` demod blocks; segment s+1 is
+    staged to the device with an async `jax.device_put` the moment
+    segment s starts executing (host->device transfer overlaps the
+    K-blocks-per-execution demod scan — the HostFeed double-buffering
+    idea applied to the replay path), and the demodulator's streaming
+    state carries across segment boundaries exactly as it does across
+    blocks, so the output bit-matches the host-fed path
+    (tests/test_segmented_replay.py).
+
+    Dispatch rule (measure.run_measurement / engine/dispatch.py):
+    recordings with nbytes <= DEVICE_REPLAY_MAX_BYTES take DeviceReplay;
+    larger ones take this class; only non-recording sources fall back to
+    the host-fed pipeline.
+    """
+
+    rx: AntennaParams
+    data: np.ndarray                  # complex64 recording (may be mmap)
+    blocks_per_exec: int = 8
+    loop: bool = False
+    segment_bytes: int | None = None  # per-segment HBM budget override
+
+    def __post_init__(self):
+        self.demod = make_demodulator(self.rx)
+        L = self.demod.plan.block_len
+        self.L = L
+        n = len(self.data)
+        if self.loop:
+            # exact host-path loop semantics need block-commensurate data
+            assert n % L == 0, \
+                "looped segmented replay needs len % block == 0"
+        self.nblk_rec = max(1, -(-n // L))
+        K = self.blocks_per_exec
+        # two segments are in flight (current + prefetched); keep their
+        # combined footprint well inside the device-replay budget
+        budget = self.segment_bytes or DEVICE_REPLAY_MAX_BYTES // 4
+        self.seg_blocks = max(K, (budget // (L * 8)) // K * K)
+        demod_step = self.demod.step
+
+        def body(X, carry, _):
+            state, idx = carry
+            x = C(jax.lax.dynamic_slice(X.re, (idx * L,), (L,)),
+                  jax.lax.dynamic_slice(X.im, (idx * L,), (L,)))
+            state, y = demod_step(state, x)
+            return (state, idx + 1), y
+
+        import functools
+
+        @jax.jit
+        def multi(state, idx0, X):
+            (state, _), ys = jax.lax.scan(
+                functools.partial(body, X), (state, idx0), None, length=K)
+            return state, ys
+
+        self._multi = multi
+
+    def _segment(self, b0: int) -> np.ndarray:
+        """Stream blocks [b0, b0 + seg_blocks) as one contiguous
+        complex64 array (wrapping when looped, zero-padded past the
+        recording when not)."""
+        L, S, n = self.L, self.seg_blocks, len(self.data)
+        segL = S * L
+        if self.loop:
+            s0 = (b0 % self.nblk_rec) * L
+            if s0 + segL <= n:
+                return self.data[s0:s0 + segL]
+            parts, need = [self.data[s0:]], segL - (n - s0)
+            while need >= n:
+                parts.append(self.data)
+                need -= n
+            if need:
+                parts.append(self.data[:need])
+            return np.concatenate(parts)
+        s0 = b0 * L
+        if s0 >= n:
+            return np.zeros(segL, dtype=np.complex64)
+        chunk = self.data[s0:s0 + segL]
+        if len(chunk) == segL:
+            return chunk
+        buf = np.zeros(segL, dtype=np.complex64)
+        buf[:len(chunk)] = chunk
+        return buf
+
+    def _stage(self, b0: int) -> C:
+        """Async host->device upload of one segment (device_put returns
+        immediately; the transfer overlaps the current segment's
+        executions)."""
+        seg = np.asarray(self._segment(b0), dtype=np.complex64)
+        return C(jax.device_put(np.ascontiguousarray(seg.real)),
+                 jax.device_put(np.ascontiguousarray(seg.imag)))
+
+    def run(self, sinks=(), usrp_number: int = 0,
+            front_end: str = "A") -> PipelineResult:
+        from .pipeline import run_chunked
+        plan = self.demod.plan
+        K = self.blocks_per_exec
+        n_exec = max(1, -(-plan.n_blocks // K))
+        exec_per_seg = self.seg_blocks // K
+        n_seg = -(-n_exec // exec_per_seg)
+        slot = {"cur": None, "nxt": None, "e": 0}
+
+        def init():
+            slot["cur"] = self._stage(0)
+            slot["nxt"] = (self._stage(self.seg_blocks)
+                           if n_seg > 1 else None)
+            slot["e"] = 0
+            return self.demod.init_state()
+
+        def step(state):
+            e = slot["e"]
+            if e > 0 and e % exec_per_seg == 0:
+                s = e // exec_per_seg          # entering segment s
+                slot["cur"] = slot["nxt"]
+                slot["nxt"] = (self._stage((s + 1) * self.seg_blocks)
+                               if s + 1 < n_seg else None)
+            idx0 = jnp.int32((e % exec_per_seg) * K)
+            state, ys = self._multi(state, idx0, slot["cur"])
+            slot["e"] = e + 1
+            return state, ys
+
+        return run_chunked(step, init, n_exec, plan.n_blocks,
+                           plan.block_len, self.demod.n_channels,
+                           plan.total_out_rows, sinks,
+                           usrp_number=usrp_number, front_end=front_end)

@@ -25,6 +25,21 @@ from .engine.sources import Source, WhiteNoiseSource
 from .params import AntMode, UsrpParams
 
 
+# the execution paths the last run_measurement call actually took, one
+# (rx_name, path, subpath) per RX antenna — mirrors the predictions of
+# engine/dispatch.plan_dispatch (tests/test_dispatch_table.py asserts
+# they agree; docs/07_dispatch.md is the human-readable table)
+LAST_DISPATCH: list = []
+
+
+def _record_dispatch(rx_name: str, path: str, subpath=None) -> None:
+    LAST_DISPATCH.append((rx_name, path, subpath))
+    from .utils.log import get_logger
+    get_logger("dispatch").info(
+        "dispatch %s -> %s%s", rx_name, path,
+        f":{subpath}" if subpath else "")
+
+
 class ChannelSource(Source):
     """TX generator -> channel model -> RX blocks.
 
@@ -126,6 +141,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                            trigger, mesh, tags, H5Sink):
     results = []
     out_name = None
+    LAST_DISPATCH.clear()
     # Concurrent A/B frontends: >=2 fusable RX chains advance in
     # lock-step inside ONE jitted program on a shared sample timebase
     # (the reference's synchronized per-frontend thread chains,
@@ -140,6 +156,12 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
             if not getattr(dual, "ok", True):
                 dual = None       # untileable -> sequential fallback
         if dual is not None:
+            for i, (rx_name, _tx, _rx) in enumerate(pairs):
+                chains = getattr(dual, "chains", None)
+                _record_dispatch(
+                    rx_name,
+                    "dual_fused" if mesh is None else "dual_sharded_fused",
+                    getattr(chains[i], "path", None) if chains else None)
             sinks_per_fe = []
             for rx_name, _tx, _rx in pairs:
                 sinks = list(extra_sinks)
@@ -169,6 +191,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                     sinks.append(h5)
                     out_name = h5.filename
                 fused = FusedLoopback(tx, rx)
+                _record_dispatch(rx_name, "fused_loopback", fused.path)
                 res = fused.run(sinks, usrp_number=params.usrp_number,
                                 front_end=rx_name[0])
                 results.append(res)
@@ -194,6 +217,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                     trigger=trigger, **tags)
                         sinks.append(h5)
                         out_name = h5.filename
+                    _record_dispatch(rx_name, "sharded_fused")
                     res = sf.run(sinks, usrp_number=params.usrp_number,
                                  front_end=rx_name[0], n_blocks=nb)
                     results.append(res)
@@ -218,6 +242,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                     trigger=trigger, **tags)
                         sinks.append(h5)
                         out_name = h5.filename
+                    _record_dispatch(rx_name, "sharded_replay")
                     res = sr.run(sinks, usrp_number=params.usrp_number,
                                  front_end=rx_name[0])
                     results.append(res)
@@ -235,6 +260,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                 if not (loop and len(source.data) % blk != 0):
                     dr = DeviceReplay(rx, np.asarray(source.data),
                                       loop=loop)
+                    _record_dispatch(rx_name, "device_replay", dr.path)
                     sinks = list(extra_sinks)
                     if filename is not None:
                         h5 = H5Sink(filename, params, ant_name=rx_name,
@@ -242,6 +268,30 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                         sinks.append(h5)
                         out_name = h5.filename
                     res = dr.run(sinks, usrp_number=params.usrp_number,
+                                 front_end=rx_name[0])
+                    results.append(res)
+                    continue
+        # Chunked HBM-refill replay: a recording too large for one upload
+        # is cut into double-buffered segments so it keeps the
+        # device-resident path instead of dropping to per-block host feed
+        if source is not None and channel is None and mesh is None and \
+                not _is_mixed(rx):
+            from .engine.replay import (SegmentedDeviceReplay,
+                                        can_segmented_replay)
+            if can_segmented_replay(source):
+                from .engine.planner import plan_blocks
+                loop = bool(getattr(source, "loop", False))
+                blk = plan_blocks(rx).block_len
+                if not (loop and len(source.data) % blk != 0):
+                    sr = SegmentedDeviceReplay(rx, source.data, loop=loop)
+                    _record_dispatch(rx_name, "segmented_replay")
+                    sinks = list(extra_sinks)
+                    if filename is not None:
+                        h5 = H5Sink(filename, params, ant_name=rx_name,
+                                    trigger=trigger, **tags)
+                        sinks.append(h5)
+                        out_name = h5.filename
+                    res = sr.run(sinks, usrp_number=params.usrp_number,
                                  front_end=rx_name[0])
                     results.append(res)
                     continue
@@ -261,6 +311,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                     skip_samples=skip)
             else:
                 src = WhiteNoiseSource()
+        _record_dispatch(rx_name, "host_pipeline_mixed" if _is_mixed(rx)
+                         else "host_pipeline")
         if _is_mixed(rx):
             # parallel per-type demodulators over the same stream; group
             # 0 fills `data`, group k>0 a `mixed_<k>` dataset

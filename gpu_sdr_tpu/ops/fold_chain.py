@@ -67,6 +67,8 @@ class TonesDirectFoldChain:
     (synth phases (C_t,), DDC phases (C',), startup flag, P, ramp).
     """
 
+    path_name = "fold_chain"
+
     rate: int
     tx_freqs: Tuple[int, ...]
     tx_ampls: Tuple[float, ...]

@@ -389,6 +389,8 @@ class TonesDirectFoldKernel:
     (cpp/fir.cu:83-88) for the --sw_loop TONES->DIRECT path.
     """
 
+    path_name = "fold_kernel"
+
     rate: int
     tx_freqs: Tuple[int, ...]
     tx_ampls: Tuple[float, ...]

@@ -96,25 +96,35 @@ class ReplayDDC:
     replay with a block-commensurate recording, decimating DIRECT mode
     with 2 <= pf_average (f-1 <= 8), tileable rows."""
 
+    @classmethod
+    def plan_tiles(cls, cfg: DirectDDCConfig, n: int, L: int):
+        """The ok flag's pure shape math: (nbr, nblk, R) when the
+        recording/geometry is tileable, else None.  Shared by __init__
+        and engine/dispatch.plan_dispatch so the dispatch table cannot
+        drift from the builder."""
+        M, f = cfg.M, cfg.f
+        if not (f >= 2 and f - 1 <= _HUNIT and L % M == 0 and
+                n % L == 0 and n > 0):
+            return None
+        nbr, nblk = L // M, n // L
+        R = _pick_rows(nbr, M, cfg.n_channels)
+        if not (R and nbr % R == 0 and R % _HUNIT == 0 and f - 1 <= R):
+            return None
+        return nbr, nblk, R
+
     def __init__(self, cfg: DirectDDCConfig, data: np.ndarray,
                  block_len: int, blocks_per_exec: int = 8,
                  interpret: bool | None = None):
         self.cfg = cfg
         self.L = int(block_len)
         self.K = int(blocks_per_exec)
-        M, f = cfg.M, cfg.f
         n = len(data)
-        self.ok = (f >= 2 and f - 1 <= _HUNIT and self.L % M == 0 and
-                   n % self.L == 0 and n > 0)
+        plan = self.plan_tiles(cfg, n, self.L)
+        self.ok = plan is not None
         if not self.ok:
             return
-        self.nbr = self.L // M                  # output rows per block
-        self.nblk = n // self.L                 # recording blocks
-        self.R = _pick_rows(self.nbr, M, cfg.n_channels)
-        self.ok = bool(self.R) and self.nbr % self.R == 0 and \
-            self.R % _HUNIT == 0 and f - 1 <= self.R
-        if not self.ok:
-            return
+        self.nbr, self.nblk, self.R = plan
+        M = cfg.M
         buf = np.asarray(data, dtype=np.complex64)
         xc = cplx.from_np(buf)
         self._X = C(xc.re.reshape(self.nblk * self.nbr, M),
@@ -306,6 +316,23 @@ class ReplayDDCT(ReplayDDC):
     halos (see _kernel_t) and ramp/rotation apply in XLA on the
     decimated output."""
 
+    @classmethod
+    def plan_tiles(cls, cfg: DirectDDCConfig, n: int, L: int,
+                   rows: int | None = None):
+        """Shape math of the transposed kernel's ok flag (see
+        ReplayDDC.plan_tiles)."""
+        M, f = cfg.M, cfg.f
+        Cp = cfg.n_channels
+        CpP = 8 * max(1, -(-Cp // 8))
+        if not (f >= 2 and f - 1 <= _TLEAD and L % M == 0 and
+                n % L == 0 and n > 0 and Cp <= 32):
+            return None
+        nbr, nblk = L // M, n // L
+        R = int(rows) if rows else _pick_rows_t(nbr, M, CpP)
+        if not (R and nbr % R == 0 and R % _HUNIT == 0 and f - 1 <= R):
+            return None
+        return nbr, nblk, R
+
     def __init__(self, cfg: DirectDDCConfig, data: np.ndarray,
                  block_len: int, blocks_per_exec: int = 8,
                  interpret: bool | None = None, rows: int | None = None):
@@ -316,17 +343,11 @@ class ReplayDDCT(ReplayDDC):
         Cp = cfg.n_channels
         n = len(data)
         self.CpP = 8 * max(1, -(-Cp // 8))
-        self.ok = (f >= 2 and f - 1 <= _TLEAD and self.L % M == 0 and
-                   n % self.L == 0 and n > 0 and Cp <= 32)
+        plan = self.plan_tiles(cfg, n, self.L, rows=rows)
+        self.ok = plan is not None
         if not self.ok:
             return
-        self.nbr = self.L // M
-        self.nblk = n // self.L
-        self.R = int(rows) if rows else _pick_rows_t(self.nbr, M, self.CpP)
-        self.ok = bool(self.R) and self.nbr % self.R == 0 and \
-            self.R % _HUNIT == 0 and f - 1 <= self.R
-        if not self.ok:
-            return
+        self.nbr, self.nblk, self.R = plan
         # pre-tiled transposed recording: tile t = columns
         # [t*R - _TLEAD, t*R + R) of X^T (M, ntot), wrapping mod ntot
         # (the wrap IS the looped-replay FIR history; the stream's first
@@ -425,3 +446,14 @@ def make_replay_ddc(cfg: DirectDDCConfig, data: np.ndarray,
         if rk.ok:
             return rk
     return ReplayDDC(cfg, data, block_len, blocks_per_exec, interpret)
+
+
+def replay_ddc_kind(cfg: DirectDDCConfig, n: int, L: int):
+    """Which kernel make_replay_ddc would return (and whether it is ok)
+    without building it: 'replay_kernel_t' / 'replay_kernel' / None.
+    Mirrors make_replay_ddc exactly via the shared plan_tiles math."""
+    if cfg.n_channels <= 8 and ReplayDDCT.plan_tiles(cfg, n, L):
+        return "replay_kernel_t"
+    if ReplayDDC.plan_tiles(cfg, n, L):
+        return "replay_kernel"
+    return None
