@@ -197,6 +197,66 @@ def pallas_chirp_lockin_table(profile: jax.Array, C_full: C, X_full: C,
     return C(o_re[:, 0], o_im[:, 0])
 
 
+def pallas_chirp_lockin_table_self(profile: jax.Array, C_full: C,
+                                   blk_idx: jax.Array, nseg_pb: int,
+                                   seg_tile: int = 8,
+                                   interpret: bool | None = None) -> C:
+    """Single-fetch loopback form of :func:`pallas_chirp_lockin_table`.
+
+    In the loopback the signal IS the wavetable, and Mosaic does NOT
+    coalesce two block specs over the same buffer: the 4-spec aliased
+    form streams every byte TWICE (measured: 189 GB/s effective vs
+    392 GB/s for 4 distinct streams, tools/perf_pallas_bw2.py
+    lockin2_aliased_th8, 2026-08-21).  Here each row is fetched once
+    and the tile serves as both oscillator and signal — the same
+    product set (zr = cr*cr + ci*ci, zi = cr*ci - ci*cr), half the HBM
+    traffic.  The real half is bit-identical to the aliased call; the
+    imaginary half is EXACTLY zero (the loopback's true answer), where
+    the aliased form leaves ~1e-9 FMA-contraction residue
+    (tests/test_pallas_lockin.py).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    ppt = profile.shape[0]
+    assert C_full.shape[1] == ppt
+    assert nseg_pb % seg_tile == 0
+    nr = nseg_pb // seg_tile
+    idx_arr = jnp.asarray(blk_idx, dtype=jnp.int32).reshape(1)
+
+    row_map = lambda s, i: (i[0] * nr + s, 0)
+
+    def kernel(idx_ref, cr_ref, ci_ref, w_ref, or_ref, oi_ref):
+        cr, ci = cr_ref[:], ci_ref[:]
+        zr = cr * cr + ci * ci            # conj(c) * c
+        zi = cr * ci - ci * cr            # exactly zero, same products
+        w = w_ref[:]
+        or_ref[:] = jnp.sum(zr * w[None, :], axis=1, keepdims=True)
+        oi_ref[:] = jnp.sum(zi * w[None, :], axis=1, keepdims=True)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((seg_tile, ppt), row_map),      # wavetable re
+            pl.BlockSpec((seg_tile, ppt), row_map),      # wavetable im
+            pl.BlockSpec((ppt,), lambda s, i: (0,)),     # profile
+        ],
+        out_specs=(
+            pl.BlockSpec((seg_tile, 1), lambda s, i: (s, 0)),
+            pl.BlockSpec((seg_tile, 1), lambda s, i: (s, 0)),
+        ),
+    )
+    out_shape = (jax.ShapeDtypeStruct((nseg_pb, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((nseg_pb, 1), jnp.float32))
+    o_re, o_im = pl.pallas_call(
+        kernel, grid_spec=gs, out_shape=out_shape, interpret=interpret,
+    )(idx_arr, C_full.re, C_full.im, profile)
+    return C(o_re[:, 0], o_im[:, 0])
+
+
 def pallas_chirp_lockin_at(cfg: ChirpConfig, profile: jax.Array,
                            last_index: jax.Array, X_full: C,
                            blk_idx: jax.Array, nseg_pb: int,

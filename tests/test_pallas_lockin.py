@@ -146,3 +146,47 @@ def test_hostfed_chirp_table_step_matches_xla(monkeypatch):
     b = np.concatenate(outs_x)
     assert a.shape == b.shape
     assert golden.snr_db(b, a) > 90.0
+
+
+def test_table_self_matches_aliased_bit_identical():
+    """pallas_chirp_lockin_table_self (single-fetch loopback form) is
+    bit-identical to the 4-spec aliased call with X == C — Mosaic does
+    not coalesce aliased block specs, so the loopback chain fetches its
+    wavetable twice; the self form halves the traffic with the same
+    product set (tools/perf_pallas_bw2.py, 2026-08-21)."""
+    import jax
+    from gpu_sdr_tpu.ops import chirp as chirp_ops
+    from gpu_sdr_tpu.ops.pallas_lockin import (
+        pallas_chirp_lockin_table, pallas_chirp_lockin_table_self)
+
+    rate = 1_000_000
+    steps, chirp_t = 128, 0.0256
+    cfg = ChirpConfig.from_params(-300_000, 300_000, rate, steps, chirp_t)
+    ppt = cfg.length
+    period = cfg.period
+    nseg_pb = 32
+    L = nseg_pb * ppt
+    nblk = period // L
+
+    def body(last, _):
+        last, c = chirp_ops.chirp_block(cfg, last, L, scale=0.7)
+        return last, c
+    _, cs = jax.lax.scan(body, jnp.uint32(0), None, length=nblk)
+    total_nseg = period // ppt
+    Cf = cplx.C(cs.re.reshape(total_nseg, ppt),
+                cs.im.reshape(total_nseg, ppt))
+    prof = jnp.asarray(lockin_profile(ppt) / 0.7)
+
+    for i in range(nblk):
+        ya = pallas_chirp_lockin_table(prof, Cf, Cf, jnp.int32(i),
+                                       nseg_pb, interpret=True)
+        yb = pallas_chirp_lockin_table_self(prof, Cf, jnp.int32(i),
+                                            nseg_pb, interpret=True)
+        # real half: identical products, bit-identical
+        assert np.array_equal(np.asarray(ya.re), np.asarray(yb.re))
+        # imag half: the true loopback answer is exactly 0; the self
+        # form delivers it exactly, while the aliased form leaves ~1e-9
+        # FMA-contraction residue (cr*ci - ci*cr fused one side only)
+        assert np.array_equal(np.asarray(yb.im),
+                              np.zeros_like(np.asarray(yb.im)))
+        assert np.abs(np.asarray(ya.im)).max() < 1e-6
