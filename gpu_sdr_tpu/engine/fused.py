@@ -411,7 +411,7 @@ class _ChirpWavetableChain:
     def multi_step(self, state, K: int):
         import jax.numpy as jnp
         from ..ops.cplx import C
-        from ..ops.pallas_lockin import pallas_chirp_lockin_table
+        from ..ops.pallas_lockin import pallas_chirp_lockin_table_self
         last, idx, Xf = state
         nblk, nseg_pb = self.nblk, self.nseg_pb
         L, period = self.L, self.cfg.period
@@ -419,9 +419,13 @@ class _ChirpWavetableChain:
         def body(carry, _):
             lst, i = carry
             # oscillator and signal rows both stream from the resident
-            # period (the loopback signal IS the wavetable)
-            y = pallas_chirp_lockin_table(self.profile, Xf, Xf, i,
-                                          nseg_pb)
+            # period (the loopback signal IS the wavetable) — via the
+            # SINGLE-FETCH kernel: Mosaic does not coalesce two block
+            # specs over one buffer, so the aliased 4-spec call streamed
+            # every byte twice (tools/perf_pallas_bw2.py /
+            # tools/perf_lockin_self.py, 2026-08-21)
+            y = pallas_chirp_lockin_table_self(self.profile, Xf, i,
+                                               nseg_pb)
             nxt = i + 1
             nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
             lst = (lst + jnp.uint32(L % period)) % jnp.uint32(period)

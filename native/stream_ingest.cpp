@@ -77,6 +77,10 @@ struct IngestServer {
     if (c >= 0) {
       int one = 1;
       ::setsockopt(c, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+      // deep kernel buffer: rides bursts through consumer stalls (the
+      // role of the reference's NIC ring tuning, tools/ubuntu_lan_config)
+      int buf = 8 * 1024 * 1024;
+      ::setsockopt(c, SOL_SOCKET, SO_RCVBUF, &buf, sizeof(buf));
       client_fd = c;
       eof.store(false, std::memory_order_release);
     }

@@ -336,3 +336,47 @@ def test_table_oscillator_lockin_matches_golden_onchip():
                                    sig_idx=jnp.int32(2 * nblk - 1))
     np.testing.assert_array_equal(cplx.to_np(y2),
                                   out[(nblk - 1) * nseg_pb:])
+
+
+def test_single_fetch_lockin_matches_aliased_onchip():
+    """ops/pallas_lockin.pallas_chirp_lockin_table_self (the config-2
+    loopback's single-fetch form: one stream serves as oscillator AND
+    signal — the aliased 4-spec call streams every byte twice,
+    tools/perf_lockin_self.py: 19.6 -> 26.4 Gsps) must match the
+    aliased call bit-for-bit on the real half, with an exactly-zero
+    imaginary half, compiled by Mosaic."""
+    import jax
+    import jax.numpy as jnp
+    from gpu_sdr_tpu.ops import chirp as chirp_ops
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.chirp import ChirpConfig
+    from gpu_sdr_tpu.ops.lockin import lockin_profile
+    from gpu_sdr_tpu.ops.pallas_lockin import (
+        pallas_chirp_lockin_table, pallas_chirp_lockin_table_self)
+
+    rate = 1_000_000
+    steps, chirp_t = 128, 0.0256
+    cfg = ChirpConfig.from_params(-300_000, 300_000, rate, steps, chirp_t)
+    ppt = cfg.length
+    nseg_pb = 32
+    L = nseg_pb * ppt
+    nblk = cfg.period // L
+
+    def body(last, _):
+        last, c = chirp_ops.chirp_block(cfg, last, L, scale=0.7)
+        return last, c
+    _, cs = jax.lax.scan(body, jnp.uint32(0), None, length=nblk)
+    total_nseg = cfg.period // ppt
+    Cf = cplx.C(cs.re.reshape(total_nseg, ppt),
+                cs.im.reshape(total_nseg, ppt))
+    prof = jnp.asarray(lockin_profile(ppt) / 0.7)
+
+    for i in range(nblk):
+        ya = pallas_chirp_lockin_table(prof, Cf, Cf, jnp.int32(i),
+                                       nseg_pb, interpret=False)
+        yb = pallas_chirp_lockin_table_self(prof, Cf, jnp.int32(i),
+                                            nseg_pb, interpret=False)
+        np.testing.assert_array_equal(np.asarray(ya.re),
+                                      np.asarray(yb.re))
+        assert np.abs(np.asarray(yb.im)).max() == 0.0
+        assert np.abs(np.asarray(ya.im)).max() < 1e-6
