@@ -30,8 +30,8 @@ DRIFT_FLOOR = 0.65
 BANDS = {
     "headline_1000ch_channelizer": 25_860,   # bench.py 32x8M, 2026-08-19
     "1_single_tone_ddc_fir": 21_038,         # 2026-08-20 sweep
-    "2_vna_chirp_lockin": 27_496,
-    "3_100tone_readout": 13_783,
+    "2_vna_chirp_lockin": 31_975,            # 2026-08-21 (single-fetch)
+    "3_100tone_readout": 13_783,             # 2026-08-20 sweep
     "4_full_spectrum": 18_863,
 }
 
