@@ -36,20 +36,29 @@ RESOS = [dict(f0=-150_000.0, Qr=30.0, Qe_re=60.0),
 
 def spawn_server():
     # NO JAX_PLATFORMS override: the server process takes the axon TPU
-    code = ("from gpu_sdr_tpu.server.main import main; import sys; "
+    code = ("import jax; "
+            "print('server backend:', jax.default_backend(), "
+            "jax.devices(), flush=True); "
+            "assert jax.default_backend() in ('tpu', 'axon'), "
+            "'server must run on the TPU backend'; "
+            "from gpu_sdr_tpu.server.main import main; import sys; "
             "sys.exit(main(['--async_port', '0', '--data_port', '0', "
             "'--ingest', '0', '--one_shot']))")
     proc = subprocess.Popen([sys.executable, "-c", code], cwd=REPO,
                             stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True)
     deadline = time.monotonic() + 300
-    line = ""
+    line = backend = ""
     while time.monotonic() < deadline:
         line = proc.stdout.readline()
+        if "server backend:" in line:
+            backend = line.strip()
+            print(json.dumps({"server_backend": backend}), flush=True)
         if "server ready" in line:
             break
         if proc.poll() is not None:
             raise RuntimeError(f"server died: {line}")
+    assert "tpu" in backend.lower() or "axon" in backend.lower(), backend
     parts = line.replace(",", "").split()
     return (proc, int(parts[parts.index("async") + 2]),
             int(parts[parts.index("data") + 2]))
