@@ -57,11 +57,13 @@ def main():
                           "band_min": round(band_min, 1),
                           "recorded": rec, "pass": ok}), flush=True)
 
-    # headline first (bench geometry, shortened rounds: the gate needs a
-    # regression signal, not a record — 4096 blocks keeps the full gate
-    # under ~15 min of chip time incl. compiles)
+    # headline first.  Round lengths must match the recorded
+    # measurements: short rounds understate steady-state rates by up to
+    # 2x via the ~50 ms per-round relay drain (docs/05 "4-exec rounds"
+    # row) — a 4_096M-sample variant of this gate reproduced exactly
+    # that artifact and flagged every config as regressed.
     gate("headline_1000ch_channelizer",
-         bench.bench_loopback_1000(n_blocks=4096))
+         bench.bench_loopback_1000(n_blocks=16384))
 
     rate = 100_000_000
     tx1 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
@@ -71,7 +73,7 @@ def main():
                         decim=100, pf_average=4, freq=[10_000_000],
                         wave_type=[WaveType.DIRECT])
     gate("1_single_tone_ddc_fir",
-         time_chain(tx1, rx1, K=64, target_samples=4_096_000_000)[0])
+         time_chain(tx1, rx1, K=64, target_samples=16_384_000_000)[0])
 
     tx2 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
                         freq=[-40_000_000], chirp_f=[40_000_000],
@@ -82,7 +84,7 @@ def main():
                         chirp_f=[40_000_000], chirp_t=[1.0],
                         swipe_s=[5000], wave_type=[WaveType.CHIRP])
     gate("2_vna_chirp_lockin",
-         time_chain(tx2, rx2, K=32, target_samples=4_096_000_000)[0])
+         time_chain(tx2, rx2, K=32, target_samples=16_384_000_000)[0])
 
     freqs100 = [int(f) for f in np.linspace(-45e6, 45e6, 100)]
     tx3 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=4_000_000,
@@ -92,7 +94,7 @@ def main():
                         decim=100, pf_average=4, freq=freqs100,
                         wave_type=[WaveType.DIRECT] * 100)
     gate("3_100tone_readout",
-         time_chain(tx3, rx3, K=64, target_samples=4_096_000_000)[0])
+         time_chain(tx3, rx3, K=64, target_samples=16_384_000_000)[0])
 
     bins1000 = [int(k * (rate // 1000)) for k in range(-500, 500)]
     tx4 = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=6_000_000,
@@ -102,7 +104,7 @@ def main():
                         fft_tones=1000, pf_average=4,
                         wave_type=[WaveType.NOISE])
     gate("4_full_spectrum",
-         time_chain(tx4, rx4, K=64, target_samples=4_096_000_000)[0])
+         time_chain(tx4, rx4, K=64, target_samples=16_384_000_000)[0])
 
     if failures:
         print(json.dumps({"regressions": failures}), flush=True)
