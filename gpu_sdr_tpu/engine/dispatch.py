@@ -37,6 +37,7 @@ DUAL_SHARDED = "dual_sharded_fused"
 FUSED_LOOPBACK = "fused_loopback"
 SHARDED_FUSED = "sharded_fused"
 SHARDED_REPLAY = "sharded_replay"
+SHARDED_SEGMENTED = "sharded_segmented_replay"
 DEVICE_REPLAY = "device_replay"
 SEGMENTED_REPLAY = "segmented_replay"
 HOST_PIPELINE = "host_pipeline"
@@ -277,6 +278,16 @@ def plan_dispatch(params: UsrpParams, source=None, channel=None,
                     decisions.append(Decision(
                         rx_name, SHARDED_REPLAY, None,
                         "recording fits HBM, mesh given"))
+                    continue
+            if mesh is not None and can_segmented_replay(source):
+                from .demodulator import make_demodulator as _mk
+                loop = bool(getattr(source, "loop", False))
+                blk = _mk(rx, mesh=mesh).plan.block_len
+                if not (loop and len(source.data) % blk != 0):
+                    decisions.append(Decision(
+                        rx_name, SHARDED_SEGMENTED, None,
+                        "recording exceeds HBM budget, mesh given: "
+                        "sharded segment refill"))
                     continue
             if mesh is None and can_device_replay(source):
                 from .planner import plan_blocks

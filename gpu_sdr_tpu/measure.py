@@ -247,6 +247,30 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                  front_end=rx_name[0])
                     results.append(res)
                     continue
+        # Mesh + oversized recording: chunked HBM-refill through the
+        # SHARDED demodulator (segments staged with sharded device_put)
+        if source is not None and channel is None and mesh is not None \
+                and not _is_mixed(rx):
+            from .engine.replay import can_segmented_replay
+            from .parallel.sharded_replay import ShardedSegmentedReplay
+            if can_segmented_replay(source):
+                from .engine.demodulator import make_demodulator as _mk
+                loop = bool(getattr(source, "loop", False))
+                blk = _mk(rx, mesh=mesh).plan.block_len
+                if not (loop and len(source.data) % blk != 0):
+                    sr = ShardedSegmentedReplay(rx, source.data, mesh,
+                                                loop=loop)
+                    _record_dispatch(rx_name, "sharded_segmented_replay")
+                    sinks = list(extra_sinks)
+                    if filename is not None:
+                        h5 = H5Sink(filename, params, ant_name=rx_name,
+                                    trigger=trigger, **tags)
+                        sinks.append(h5)
+                        out_name = h5.filename
+                    res = sr.run(sinks, usrp_number=params.usrp_number,
+                                 front_end=rx_name[0])
+                    results.append(res)
+                    continue
         # Device-resident replay: a recording that fits HBM is uploaded
         # once and demodulated scan-chained (engine/replay.py) instead of
         # feeding every block over the host link

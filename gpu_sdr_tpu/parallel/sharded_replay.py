@@ -112,3 +112,130 @@ class ShardedDeviceReplay:
                            plan.total_out_rows, sinks,
                            usrp_number=usrp_number, front_end=front_end,
                            to_np=_to_np_global)
+
+
+@dataclasses.dataclass
+class ShardedSegmentedReplay:
+    """Chunked HBM-refill replay under a mesh: the sharded form of
+    engine/replay.SegmentedDeviceReplay.
+
+    Recordings larger than the per-upload budget are cut into
+    fixed-shape segments of `seg_blocks` blocks; each segment is staged
+    to the mesh with an async sharded `jax.device_put` (time axis
+    pre-sharded, so each device receives only its span) while the
+    previous segment streams through the SHARDED demodulator, whose
+    overlap-save halos ride its own ppermute ring.  State carries across
+    segment boundaries exactly as across blocks, so the gathered output
+    matches the single-host paths bit-for-block
+    (tests/test_sharded_replay.py::test_sharded_segmented_*).
+    """
+
+    rx: AntennaParams
+    data: np.ndarray                  # complex64 recording (may be mmap)
+    mesh: Mesh
+    blocks_per_exec: int = 8
+    loop: bool = False
+    segment_bytes: int | None = None
+
+    def __post_init__(self):
+        from ..engine.replay import DEVICE_REPLAY_MAX_BYTES
+        mesh = self.mesh
+        self.demod = make_demodulator(self.rx, mesh=mesh)
+        L = self.demod.plan.block_len
+        self.L = L
+        n = len(self.data)
+        if self.loop:
+            assert n % L == 0, \
+                "looped segmented replay needs len % block == 0"
+        self.nblk_rec = max(1, -(-n // L))
+        K = self.blocks_per_exec
+        budget = self.segment_bytes or DEVICE_REPLAY_MAX_BYTES // 4
+        self.seg_blocks = max(K, (budget // (L * 8)) // K * K)
+        time_ax = "time" if "time" in mesh.axis_names else None
+        self._sharding = NamedSharding(mesh, P(None, time_ax))
+        demod_step = self.demod.step
+
+        def body(X, carry, _):
+            state, idx = carry
+            x = C(jax.lax.dynamic_slice(X.re, (idx, 0), (1, L))[0],
+                  jax.lax.dynamic_slice(X.im, (idx, 0), (1, L))[0])
+            state, y = demod_step(state, x)
+            return (state, idx + 1), y
+
+        import functools
+
+        @jax.jit
+        def multi(state, idx0, X):
+            (state, _), ys = jax.lax.scan(
+                functools.partial(body, X), (state, idx0), None, length=K)
+            return state, ys
+
+        self._multi = multi
+
+    def _segment(self, b0: int) -> np.ndarray:
+        # same stream semantics as SegmentedDeviceReplay._segment
+        L, S, n = self.L, self.seg_blocks, len(self.data)
+        segL = S * L
+        if self.loop:
+            s0 = (b0 % self.nblk_rec) * L
+            if s0 + segL <= n:
+                return self.data[s0:s0 + segL]
+            parts, need = [self.data[s0:]], segL - (n - s0)
+            while need >= n:
+                parts.append(self.data)
+                need -= n
+            if need:
+                parts.append(self.data[:need])
+            return np.concatenate(parts)
+        s0 = b0 * L
+        if s0 >= n:
+            return np.zeros(segL, dtype=np.complex64)
+        chunk = self.data[s0:s0 + segL]
+        if len(chunk) == segL:
+            return chunk
+        buf = np.zeros(segL, dtype=np.complex64)
+        buf[:len(chunk)] = chunk
+        return buf
+
+    def _stage(self, b0: int) -> C:
+        seg = np.asarray(self._segment(b0), dtype=np.complex64)
+        seg = seg.reshape(self.seg_blocks, self.L)
+        return C(jax.device_put(np.ascontiguousarray(seg.real),
+                                self._sharding),
+                 jax.device_put(np.ascontiguousarray(seg.imag),
+                                self._sharding))
+
+    def run(self, sinks=(), usrp_number: int = 0,
+            front_end: str = "A") -> PipelineResult:
+        from ..engine.pipeline import run_chunked
+        plan = self.demod.plan
+        K = self.blocks_per_exec
+        n_exec = max(1, -(-plan.n_blocks // K))
+        exec_per_seg = self.seg_blocks // K
+        n_seg = -(-n_exec // exec_per_seg)
+        slot = {"cur": None, "nxt": None, "e": 0}
+
+        def init():
+            slot["cur"] = self._stage(0)
+            slot["nxt"] = (self._stage(self.seg_blocks)
+                           if n_seg > 1 else None)
+            slot["e"] = 0
+            return self.demod.init_state()
+
+        def step(state):
+            e = slot["e"]
+            if e > 0 and e % exec_per_seg == 0:
+                s = e // exec_per_seg
+                slot["cur"] = slot["nxt"]
+                slot["nxt"] = (self._stage((s + 1) * self.seg_blocks)
+                               if s + 1 < n_seg else None)
+            idx0 = jnp.int32((e % exec_per_seg) * K)
+            state, ys = self._multi(state, idx0, slot["cur"])
+            slot["e"] = e + 1
+            return state, ys
+
+        return run_chunked(step, init, n_exec, plan.n_blocks,
+                           plan.block_len, self.demod.n_channels,
+                           plan.total_out_rows, sinks,
+                           usrp_number=usrp_number, front_end=front_end,
+                           to_np=_to_np_global)

@@ -144,3 +144,48 @@ def test_run_measurement_mesh_replay_dispatch(tmp_path, monkeypatch):
     data = Ufiles.openH5file(fn)
     assert data.shape == (1, 4_000)
     assert np.allclose(np.abs(data[0, 16:]), 0.4, atol=2e-3)
+
+
+def test_sharded_segmented_matches_host(monkeypatch):
+    """Recordings larger than the HBM budget under a mesh take the
+    sharded segment-refill path and match the host-fed pipeline across
+    >= 3 segment boundaries."""
+    from gpu_sdr_tpu import measure as measure_mod
+    from gpu_sdr_tpu.engine import replay as replay_mod
+    from gpu_sdr_tpu.engine.dispatch import plan_dispatch
+    from gpu_sdr_tpu.parallel.sharded_replay import ShardedSegmentedReplay
+
+    rate = 1_000_000
+    freqs = [100_000, -200_000]
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, decim=100,
+                      pf_average=4, buffer_len=100_000, samples=800_000,
+                      freq=freqs, wave_type=[WaveType.DIRECT] * 2)
+    rec = _comb(800_000, rate, freqs, [0.5, 0.3]) + \
+        0.01 * RNG.standard_normal(800_000).astype(np.complex64)
+    mesh = make_mesh((4, 2), ("time", "channels"))
+    ref = _single_host_output(rx, rec)
+
+    blk = 100_000   # sharded plan block for this config
+    sr = ShardedSegmentedReplay(rx, rec, mesh, blocks_per_exec=1,
+                                segment_bytes=2 * blk * 8)
+    assert sr.seg_blocks == 2      # 4 segments over the 8-block stream
+    sink = MemorySink()
+    sr.run([sink])
+    assert sink.data.shape == ref.shape
+    assert _snr(ref, sink.data) > 80
+
+    # dispatch: run_measurement routes here when the budget is exceeded
+    monkeypatch.setattr(replay_mod, "DEVICE_REPLAY_MAX_BYTES",
+                        2 * blk * 8)
+    cmd = UsrpParams()
+    cmd.A_RX2 = rx
+    src = ArraySource(rec)
+    plan = plan_dispatch(cmd, source=src, mesh=mesh)
+    sink2 = MemorySink()
+    run_measurement(cmd, filename=None, source=src, mesh=mesh,
+                    extra_sinks=[sink2])
+    assert measure_mod.LAST_DISPATCH == [
+        ("A_RX2", "sharded_segmented_replay", None)]
+    assert [d.key() for d in plan] == measure_mod.LAST_DISPATCH
+    # blocks_per_exec differs (8 vs 1): scan fusion shifts the last ulp
+    assert _snr(sink.data, sink2.data) > 120
