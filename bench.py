@@ -132,7 +132,10 @@ def bench_loopback_1000(n_blocks: int = 16384,
         t0 = time.perf_counter()
         for _ in range(per_round):
             s, ys = multi(s)
-        jax.block_until_ready(ys)
+        # hard_sync ONLY (no block_until_ready in the timed region): a
+        # per-round block_until_ready on the stacked output costs ~20%
+        # on this relay (tools/perf_bur_cost.py, 2026-08-21) while the
+        # 4-byte fetch is already the complete execution barrier
         hard_sync(ys)
         dt = time.perf_counter() - t0
         best = max(best, per_round * K * block_len / dt / 1e6)

@@ -43,7 +43,12 @@ def time_chain(tx, rx, K, target_samples=16_384_000_000):
         t0 = time.perf_counter()
         for _ in range(per_round):
             gstate, dstate, ys = fl._multi(gstate, dstate)
-        jax.block_until_ready(ys)
+        # hard_sync ONLY: a per-round block_until_ready on the large
+        # output costs ~20% on this relay (measured A/B/A,
+        # tools/perf_bur_cost.py — every pre-round-4 time_chain number
+        # was understated by it); the 4-byte fetch is the complete
+        # barrier (the buffer cannot materialize before the execution
+        # finishes, and prior executions finish before the last)
         hard_sync(ys)
         dt = time.perf_counter() - t0
         best = max(best, per_round * K * B / dt / 1e6)

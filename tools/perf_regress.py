@@ -7,8 +7,8 @@ so a silent single-config regression would pass every test; this gate
 is the missing mechanism, and is the perf step of the verify recipe
 (.claude/skills/verify/SKILL.md).
 
-Bands: the round-3 same-run sweep (docs/05_performance.md per-config
-table, 2026-08-20) with the rig's documented drift allowance.  The
+Bands: the latest recorded same-run sweep (docs/05_performance.md
+per-config table) with the rig's documented drift allowance.  The
 rig's LARGE-program throughput drifts up to ~25% across hours
 (multi-tenant/thermal; CLAUDE.md), so the pass threshold is
 0.65 x recorded — tight enough to catch any real (>=1.5x) regression,
@@ -27,12 +27,14 @@ sys.path.insert(0, ".")
 
 # recorded same-run sweep values (Msps) and the drift-allowance floor
 DRIFT_FLOOR = 0.65
+# 2026-08-21 same-run sweep with the BUR-free timing fix (this file's
+# own first clean run; see docs/05 honest-timing and perf_bur_cost.py)
 BANDS = {
-    "headline_1000ch_channelizer": 25_860,   # bench.py 32x8M, 2026-08-19
-    "1_single_tone_ddc_fir": 21_038,         # 2026-08-20 sweep
-    "2_vna_chirp_lockin": 31_975,            # 2026-08-21 (single-fetch)
-    "3_100tone_readout": 13_783,             # 2026-08-20 sweep
-    "4_full_spectrum": 18_863,
+    "headline_1000ch_channelizer": 26_305,
+    "1_single_tone_ddc_fir": 24_165,
+    "2_vna_chirp_lockin": 52_932,            # single-fetch lock-in
+    "3_100tone_readout": 14_822,
+    "4_full_spectrum": 20_513,
 }
 
 
