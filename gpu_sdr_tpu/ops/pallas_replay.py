@@ -277,15 +277,23 @@ def _kernel_t(f: int, R: int, lead: int, nr: int, CpP: int,
     er_hi, er_lo = hilo_split(ext_r)
     ei_hi, ei_lo = hilo_split(ext_i)
     es_hi, es_lo = hilo_split(ext_s)
+    # ALL taps in one (f*CpP, M) LHS per component-pass: 9 MXU dots per
+    # tile instead of 36.  With CpP=8 output rows the MXU runs at 8/128
+    # row occupancy and its cost is invocation-shaped, not MAC-shaped —
+    # measured f=4 vs f=2 (tools/perf_c1_taps.py: 24.1 vs 27.4 Gsps,
+    # same bytes) puts the tap dots at ~24% of tile time.  Slicing the
+    # stacked result is bit-identical to dotting per-tap slices (output
+    # rows are independent).
+    RR = split_dot_presplit(hrh_ref[:], hrl_ref[:], er_hi, er_lo)
+    II = split_dot_presplit(hih_ref[:], hil_ref[:], ei_hi, ei_lo)
+    RI = split_dot_presplit(hsh_ref[:], hsl_ref[:], es_hi, es_lo)
+    TR, TI = RR - II, RI - RR - II                   # (f*CpP, R+_TLEAD)
     acc_r = acc_i = None
     for j in range(f):
         s = slice(j * CpP, (j + 1) * CpP)
-        rr = split_dot_presplit(hrh_ref[s], hrl_ref[s], er_hi, er_lo)
-        ii = split_dot_presplit(hih_ref[s], hil_ref[s], ei_hi, ei_lo)
-        ri = split_dot_presplit(hsh_ref[s], hsl_ref[s], es_hi, es_lo)
-        t_r, t_i = rr - ii, ri - rr - ii             # (CpP, R+_TLEAD)
         j0 = _TLEAD - lead + j
-        t_r, t_i = t_r[:, j0:j0 + R], t_i[:, j0:j0 + R]
+        t_r = TR[s, j0:j0 + R]
+        t_i = TI[s, j0:j0 + R]
         acc_r = t_r if acc_r is None else acc_r + t_r
         acc_i = t_i if acc_i is None else acc_i + t_i
     # write channel-major: a (K*nb, CpP) output would be 4*CpP-byte
