@@ -452,6 +452,25 @@ class TonesDirectFoldKernel:
                           _np_hilo(g_re + g_im)) for a in pair)
         self._G2p = cplx.const(G2p.astype(np.complex64))
         self._ramp = self.cfg.carrier_ramp(nb)
+        # Row-direction Vandermonde factoring (round 4): P[r + b*R, t] =
+        # P1[r, t] * PB[b, t] with both factors from exact integer
+        # phases, so the kernel need not STREAM P at all — P1 rides a
+        # constant-index block (Mosaic fetches it once) and PB folds
+        # into the per-tile rotation rows (block_rotations_factored).
+        # Removing the P stream halves the self-ramp chain's HBM
+        # traffic (P read + y write -> y write only).
+        if self.time_shards == 1:
+            R = self.R
+            b = np.arange(nb // R, dtype=np.int64)
+            pbph = (fr[None, :] * ((b[:, None] * R * M) % W)) % W
+            PB = np.exp(2j * np.pi * (pbph / float(W)))
+            self._P1 = cplx.const(P[:R].astype(np.complex64))
+            self._PB = cplx.const(PB.astype(np.complex64))
+            frx = np.asarray(self.cfg.freqs, dtype=np.int64) % W
+            rbph = (frx[None, :] * ((b[:, None] * R * M) % W)) % W
+            RB = np.exp(-2j * np.pi * (rbph / float(W)))
+            self._RB = cplx.const(RB.astype(np.complex64))
+            self._ramp1 = C(self._ramp.re[:R], self._ramp.im[:R])
         self._sstep = jnp.asarray(((fr * L) % W).astype(np.int32))
         from .ddc import ddc_carrier_step
         self._dstep = ddc_carrier_step(self.cfg, L)
@@ -468,9 +487,8 @@ class TonesDirectFoldKernel:
     # per-block rotation staging shared with the G-fused chain
     _phase_offsets = TonesDirectChain._phase_offsets
 
-    def block_rotations(self, state, K: int):
-        """(state', srots (K*8, Ct), drots (K*8, Cp)) — no halo rotations:
-        the fold has no halo rows."""
+    def _rots(self, state, K: int):
+        """(state', srots (K, Ct), drots (K, Cp)) — un-replicated."""
         sph, dph, pv = state
         W, Ct, Cp = self.rate, self.Ct, self.Cp
         two_pi_w = jnp.float32(2.0 * np.pi / W)
@@ -482,16 +500,43 @@ class TonesDirectFoldKernel:
         dphs = dph[None, :] + doffs
         dphs = jnp.where(dphs >= W, dphs - W, dphs)
         drots = cplx.expi_neg(dphs.astype(jnp.float32) * two_pi_w)
-        rep8 = lambda a: C(jnp.repeat(a.re, 8, axis=0),
-                           jnp.repeat(a.im, 8, axis=0))
         sK = self._phase_offsets(np.asarray(self._sstep), K + 1, Ct)[K]
         dK = self._phase_offsets(np.asarray(self._dstep), K + 1, Cp)[K]
         new_sph = sph + sK
         new_sph = jnp.where(new_sph >= W, new_sph - W, new_sph)
         new_dph = dph + dK
         new_dph = jnp.where(new_dph >= W, new_dph - W, new_dph)
-        return ((new_sph, new_dph, jnp.float32(1.0)),
-                rep8(srots), rep8(drots))
+        return (new_sph, new_dph, jnp.float32(1.0)), srots, drots
+
+    def block_rotations(self, state, K: int):
+        """(state', srots (K*8, Ct), drots (K*8, Cp)) — no halo rotations:
+        the fold has no halo rows."""
+        state2, srots, drots = self._rots(state, K)
+        rep8 = lambda a: C(jnp.repeat(a.re, 8, axis=0),
+                           jnp.repeat(a.im, 8, axis=0))
+        return state2, rep8(srots), rep8(drots)
+
+    def block_rotations_factored(self, state, K: int):
+        """Per-TILE rotation rows with the P/ramp Vandermonde factors
+        pre-multiplied in: crot[k, b] = srot[k] * PB[b] (synthesis) and
+        qrot[k, b] = drot[k] * conj(PB[b]) (self-ramp: the ramp is
+        conj(P1 * PB[b]) and the kernel applies conj(P1)) or
+        drot[k] * RB[b] (streamed-ramp factor).  Shapes (K*nr*8, C)."""
+        state2, srots, drots = self._rots(state, K)
+        PB = self._PB
+        cr = (srots.re[:, None, :] * PB.re[None] -
+              srots.im[:, None, :] * PB.im[None])
+        ci = (srots.re[:, None, :] * PB.im[None] +
+              srots.im[:, None, :] * PB.re[None])
+        QB = C(PB.re, -PB.im) if self.self_ramp else self._RB
+        qr = (drots.re[:, None, :] * QB.re[None] -
+              drots.im[:, None, :] * QB.im[None])
+        qi = (drots.re[:, None, :] * QB.im[None] +
+              drots.im[:, None, :] * QB.re[None])
+        nr = PB.re.shape[0]
+        rep8 = lambda a: jnp.repeat(
+            a.reshape(K * nr, a.shape[-1]), 8, axis=0)
+        return (state2, C(rep8(cr), rep8(ci)), C(rep8(qr), rep8(qi)))
 
     def invoke(self, P, G2, ramp, srots, drots, K: int,
                interpret: bool | None = None):
@@ -540,13 +585,68 @@ class TonesDirectFoldKernel:
           srots.re, srots.im, drots.re, drots.im)
         return C(y_re, y_im)
 
+    def invoke_factored(self, crots, qrots, K: int,
+                        interpret: bool | None = None):
+        """Run the fold kernel with NO streamed P/ramp: the P1 (and
+        ramp1) factor blocks have constant index maps — Mosaic fetches
+        a block only when its indices change, so they are DMA'd once —
+        and the Vandermonde tile factors arrive pre-multiplied into the
+        per-TILE rotation rows.  Same kernel body, same algebra; the
+        chain's HBM traffic drops to the output write alone."""
+        import jax.experimental.pallas as pl
+        R = self.R
+        Ct, Cp = self.Ct, self.Cp
+        nr = self.nb // R
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        kernel = functools.partial(_fold_kernel, R, self.self_ramp)
+        out_shape = (jax.ShapeDtypeStruct((K * self.nb, Cp), jnp.float32),
+                     jax.ShapeDtypeStruct((K * self.nb, Cp), jnp.float32))
+        const = lambda r: (0, 0)
+        per_tile = lambda r: (r, 0)
+        g_spec = pl.BlockSpec((Ct, Cp), const)
+        ramp_specs = [] if self.self_ramp else [
+            pl.BlockSpec((R, Cp), const),
+            pl.BlockSpec((R, Cp), const),
+        ]
+        ramp_args = () if self.self_ramp else (self._ramp1.re,
+                                               self._ramp1.im)
+        y_re, y_im = pl.pallas_call(
+            kernel,
+            grid=(K * nr,),
+            in_specs=[
+                pl.BlockSpec((R, Ct), const),                # P1 re
+                pl.BlockSpec((R, Ct), const),                # P1 im
+                g_spec, g_spec,
+                g_spec, g_spec,
+                g_spec, g_spec,
+                *ramp_specs,
+                pl.BlockSpec((8, Ct), per_tile),             # crot re
+                pl.BlockSpec((8, Ct), per_tile),             # crot im
+                pl.BlockSpec((8, Cp), per_tile),             # qrot re
+                pl.BlockSpec((8, Cp), per_tile),             # qrot im
+            ],
+            out_specs=(
+                pl.BlockSpec((R, Cp), lambda r: (r, 0)),
+                pl.BlockSpec((R, Cp), lambda r: (r, 0)),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(self._P1.re, self._P1.im, *self._G2, *ramp_args,
+          crots.re, crots.im, qrots.re, qrots.im)
+        return C(y_re, y_im)
+
     def multi_step(self, state, K: int):
         """Demodulate K consecutive blocks in ONE kernel invocation."""
         f, W = self.cfg.f, self.rate
         sph0, dph0, pv = state
-        state, srots, drots = self.block_rotations(state, K)
-        y = self.invoke(self._P, self._G2, self._ramp, srots, drots, K,
-                        self.interpret)
+        if self.time_shards == 1:
+            state, crots, qrots = self.block_rotations_factored(state, K)
+            y = self.invoke_factored(crots, qrots, K, self.interpret)
+        else:
+            state, srots, drots = self.block_rotations(state, K)
+            y = self.invoke(self._P, self._G2, self._ramp, srots, drots,
+                            K, self.interpret)
         if f > 1:
             # restore the zero-history startup transient on the stream's
             # first block (pv = 0): remove the missing taps' contribution
