@@ -27,13 +27,14 @@ sys.path.insert(0, ".")
 
 # recorded same-run sweep values (Msps) and the drift-allowance floor
 DRIFT_FLOOR = 0.65
-# 2026-08-21 same-run sweep with the BUR-free timing fix (this file's
-# own first clean run; see docs/05 honest-timing and perf_bur_cost.py)
+# 2026-08-21 definitive same-run sweep (logs/perf_regress4.log):
+# BUR-free timing + single-fetch lock-in + stacked-taps replay kernel
+# + factored fold kernel
 BANDS = {
     "headline_1000ch_channelizer": 26_305,
-    "1_single_tone_ddc_fir": 24_165,
-    "2_vna_chirp_lockin": 52_932,            # single-fetch lock-in
-    "3_100tone_readout": 14_822,
+    "1_single_tone_ddc_fir": 26_346,
+    "2_vna_chirp_lockin": 52_932,
+    "3_100tone_readout": 18_489,
     "4_full_spectrum": 20_513,
 }
 
