@@ -459,18 +459,17 @@ class TonesDirectFoldKernel:
         # into the per-tile rotation rows (block_rotations_factored).
         # Removing the P stream halves the self-ramp chain's HBM
         # traffic (P read + y write -> y write only).
-        if self.time_shards == 1:
-            R = self.R
-            b = np.arange(nb // R, dtype=np.int64)
-            pbph = (fr[None, :] * ((b[:, None] * R * M) % W)) % W
-            PB = np.exp(2j * np.pi * (pbph / float(W)))
-            self._P1 = cplx.const(P[:R].astype(np.complex64))
-            self._PB = cplx.const(PB.astype(np.complex64))
-            frx = np.asarray(self.cfg.freqs, dtype=np.int64) % W
-            rbph = (frx[None, :] * ((b[:, None] * R * M) % W)) % W
-            RB = np.exp(-2j * np.pi * (rbph / float(W)))
-            self._RB = cplx.const(RB.astype(np.complex64))
-            self._ramp1 = C(self._ramp.re[:R], self._ramp.im[:R])
+        R = self.R
+        b = np.arange(nb // R, dtype=np.int64)       # GLOBAL tile index
+        pbph = (fr[None, :] * ((b[:, None] * R * M) % W)) % W
+        PB = np.exp(2j * np.pi * (pbph / float(W)))
+        self._P1 = cplx.const(P[:R].astype(np.complex64))
+        self._PB = cplx.const(PB.astype(np.complex64))
+        frx = np.asarray(self.cfg.freqs, dtype=np.int64) % W
+        rbph = (frx[None, :] * ((b[:, None] * R * M) % W)) % W
+        RB = np.exp(-2j * np.pi * (rbph / float(W)))
+        self._RB = cplx.const(RB.astype(np.complex64))
+        self._ramp1 = C(self._ramp.re[:R], self._ramp.im[:R])
         self._sstep = jnp.asarray(((fr * L) % W).astype(np.int32))
         from .ddc import ddc_carrier_step
         self._dstep = ddc_carrier_step(self.cfg, L)
@@ -516,12 +515,14 @@ class TonesDirectFoldKernel:
                            jnp.repeat(a.im, 8, axis=0))
         return state2, rep8(srots), rep8(drots)
 
-    def block_rotations_factored(self, state, K: int):
+    def block_rotations_factored(self, state, K: int, flat: bool = True):
         """Per-TILE rotation rows with the P/ramp Vandermonde factors
         pre-multiplied in: crot[k, b] = srot[k] * PB[b] (synthesis) and
         qrot[k, b] = drot[k] * conj(PB[b]) (self-ramp: the ramp is
         conj(P1 * PB[b]) and the kernel applies conj(P1)) or
-        drot[k] * RB[b] (streamed-ramp factor).  Shapes (K*nr*8, C)."""
+        drot[k] * RB[b] (streamed-ramp factor).  Shapes (K*nr*8, C)
+        when `flat`, else (K, nr*8, C) — the sharded caller shards the
+        GLOBAL tile axis over 'time' (parallel/fused_sharded.py)."""
         state2, srots, drots = self._rots(state, K)
         PB = self._PB
         cr = (srots.re[:, None, :] * PB.re[None] -
@@ -534,8 +535,10 @@ class TonesDirectFoldKernel:
         qi = (drots.re[:, None, :] * QB.im[None] +
               drots.im[:, None, :] * QB.re[None])
         nr = PB.re.shape[0]
-        rep8 = lambda a: jnp.repeat(
-            a.reshape(K * nr, a.shape[-1]), 8, axis=0)
+
+        def rep8(a):                                  # (K, nr, C)
+            a = jnp.repeat(a, 8, axis=1)              # (K, nr*8, C)
+            return a.reshape(K * nr * 8, a.shape[-1]) if flat else a
         return (state2, C(rep8(cr), rep8(ci)), C(rep8(qr), rep8(qi)))
 
     def invoke(self, P, G2, ramp, srots, drots, K: int,
@@ -586,22 +589,34 @@ class TonesDirectFoldKernel:
         return C(y_re, y_im)
 
     def invoke_factored(self, crots, qrots, K: int,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        P1: C | None = None, G2=None, ramp1: C | None = None):
         """Run the fold kernel with NO streamed P/ramp: the P1 (and
         ramp1) factor blocks have constant index maps — Mosaic fetches
         a block only when its indices change, so they are DMA'd once —
         and the Vandermonde tile factors arrive pre-multiplied into the
         per-TILE rotation rows.  Same kernel body, same algebra; the
-        chain's HBM traffic drops to the output write alone."""
+        chain's HBM traffic drops to the output write alone.
+
+        The sharded fold path (parallel/fused_sharded._build_fold)
+        passes its shard-local P1/G2/ramp1 and time-sharded crot/qrot
+        rows explicitly; the number of tiles comes from the rotation
+        rows, so the same call serves any local row count."""
         import jax.experimental.pallas as pl
         R = self.R
-        Ct, Cp = self.Ct, self.Cp
-        nr = self.nb // R
+        if P1 is None:
+            P1 = self._P1
+        if G2 is None:
+            G2 = self._G2
+        if ramp1 is None and not self.self_ramp:
+            ramp1 = self._ramp1
+        Ct, Cp = P1.re.shape[1], G2[0].shape[1]
+        n_tiles = crots.re.shape[0] // 8             # K * local tiles
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
         kernel = functools.partial(_fold_kernel, R, self.self_ramp)
-        out_shape = (jax.ShapeDtypeStruct((K * self.nb, Cp), jnp.float32),
-                     jax.ShapeDtypeStruct((K * self.nb, Cp), jnp.float32))
+        out_shape = (jax.ShapeDtypeStruct((n_tiles * R, Cp), jnp.float32),
+                     jax.ShapeDtypeStruct((n_tiles * R, Cp), jnp.float32))
         const = lambda r: (0, 0)
         per_tile = lambda r: (r, 0)
         g_spec = pl.BlockSpec((Ct, Cp), const)
@@ -609,11 +624,10 @@ class TonesDirectFoldKernel:
             pl.BlockSpec((R, Cp), const),
             pl.BlockSpec((R, Cp), const),
         ]
-        ramp_args = () if self.self_ramp else (self._ramp1.re,
-                                               self._ramp1.im)
+        ramp_args = () if self.self_ramp else (ramp1.re, ramp1.im)
         y_re, y_im = pl.pallas_call(
             kernel,
-            grid=(K * nr,),
+            grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((R, Ct), const),                # P1 re
                 pl.BlockSpec((R, Ct), const),                # P1 im
@@ -632,7 +646,7 @@ class TonesDirectFoldKernel:
             ),
             out_shape=out_shape,
             interpret=interpret,
-        )(self._P1.re, self._P1.im, *self._G2, *ramp_args,
+        )(P1.re, P1.im, *G2, *ramp_args,
           crots.re, crots.im, qrots.re, qrots.im)
         return C(y_re, y_im)
 

@@ -452,25 +452,43 @@ class ShardedFusedDirect:
         K = self.blocks_per_exec
         f, W = chain.cfg.f, chain.rate
 
-        def spmd(Pl, G2, rampl, srots, drots):
-            y = chain.invoke(Pl, G2, rampl, srots, drots, K)
-            return y.reshape(K, Pl.shape[0], G2[0].shape[1])
+        # Factored P (round 4, same as the single-chip multi_step): P1 is
+        # REPLICATED (R rows, fetched once per shard by the constant
+        # block spec), the Vandermonde tile factor rides the per-tile
+        # rotation rows, and nothing of P is streamed — each shard's HBM
+        # traffic drops to its output write alone.  The GLOBAL tile axis
+        # of the rotation rows shards over 'time' (block_rotations_factored
+        # flat=False keeps (K, ntiles*8, C)).
+        nbt = chain.nb // max(1, chain.time_shards)
 
+        def spmd(P1, G2, ramp1, crots, qrots):
+            Ct = crots.re.shape[-1]
+            Cpl = qrots.re.shape[-1]
+            cr = C(crots.re.reshape(-1, Ct), crots.im.reshape(-1, Ct))
+            qr = C(qrots.re.reshape(-1, Cpl), qrots.im.reshape(-1, Cpl))
+            y = chain.invoke_factored(cr, qr, K, P1=P1, G2=G2,
+                                      ramp1=ramp1)
+            return y.reshape(K, nbt, Cpl)
+
+        ramp1_spec = _cpair(None, ch_ax)
         smapped = shard_map(
             spmd, mesh=mesh,
-            in_specs=(_cpair(time_ax),            # P rows
+            in_specs=(_cpair(None, None),         # P1 (replicated)
                       (P(None, ch_ax),) * 6,      # folded G2 constant
-                      _cpair(time_ax, ch_ax),     # ramp
-                      _cpair(None),               # srots (replicated)
-                      _cpair(None, ch_ax)),       # drots
+                      ramp1_spec,                 # ramp1 (replicated rows)
+                      _cpair(None, time_ax, None),   # crots tiles
+                      _cpair(None, time_ax, ch_ax)), # qrots tiles
             out_specs=_cpair(None, time_ax, ch_ax),
             check_vma=False)
 
         @jax.jit
         def exec_fn(state):
             sph0, dph0, pv = state
-            state2, srots, drots = chain.block_rotations(state, K)
-            ys = smapped(chain._P, chain._G2, chain._ramp, srots, drots)
+            state2, crots, qrots = chain.block_rotations_factored(
+                state, K, flat=False)
+            ramp1 = (chain._ramp1 if not chain.self_ramp
+                     else C(chain._ramp.re[:1], chain._ramp.im[:1]))
+            ys = smapped(chain._P1, chain._G2, ramp1, crots, qrots)
             if f > 1:
                 # zero-history startup rows of the stream's first block
                 # (same correction as the single-chip multi_step)

@@ -207,3 +207,37 @@ def test_fold_kernel_matches_fold_chain_and_multi_step():
     seq = np.concatenate(outs, axis=0)
     snr2 = golden.snr_db(seq.ravel(), cplx.to_np(yk).ravel())
     assert snr2 > 120.0, f"multi vs sequential SNR {snr2:.1f} dB"
+
+
+def test_fold_kernel_factored_matches_streamed():
+    """invoke_factored (P1 constant block + Vandermonde rotation rows;
+    round 4, +26% on chip) must match the streamed-P invoke to float32
+    accuracy for both self-ramp and streamed-ramp configurations."""
+    import jax
+    from gpu_sdr_tpu import golden
+    from gpu_sdr_tpu.ops import cplx as _cplx
+    from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectFoldKernel
+
+    rate = 1_000_000
+    tx_freqs = (12_345, -67_891, 300_001)
+    for rx_freqs in (tx_freqs,                      # self_ramp
+                     (12_345, -67_891, 299_999)):   # streamed ramp
+        cfg = DirectDDCConfig(rate=rate, decim=100, pf_average=4,
+                              freqs=rx_freqs, phases=(0,) * 3)
+        ch = TonesDirectFoldKernel(rate=rate, tx_freqs=tx_freqs,
+                                   tx_ampls=(0.3, 0.3, 0.4), cfg=cfg,
+                                   block_len=100_000, interpret=True)
+        assert ch.ok
+        assert ch.self_ramp == (rx_freqs == tx_freqs)
+        K = 2
+        st = ch.init_state()
+        st_f, crots, qrots = ch.block_rotations_factored(st, K)
+        y_f = ch.invoke_factored(crots, qrots, K, interpret=True)
+        st_s, srots, drots = ch.block_rotations(st, K)
+        y_s = ch.invoke(ch._P, ch._G2, ch._ramp, srots, drots, K,
+                        interpret=True)
+        a = _cplx.to_np(y_f)
+        b = _cplx.to_np(y_s)
+        snr = golden.snr_db(b, a)
+        assert snr > 110, f"factored vs streamed: {snr:.1f} dB"
