@@ -16,20 +16,29 @@ import time
 sys.path.insert(0, ".")
 
 
+def _hard_sync(x):
+    """4-byte fetch: the only reliable execution barrier on this relay
+    (block_until_ready can ack early — and costs ~65 ms when it does
+    drain; see tools/perf_bur_cost.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    return float(np.asarray(jax.device_get(jnp.ravel(x)[0])))
+
+
 def _timeit_chained(fn, x, n=30):
     """Time fn applied n times with a data dependency between calls (the
     relay appears to elide back-to-back identical executions, so unchained
-    timing reads absurdly high)."""
-    import jax
+    timing reads absurdly high).  Fetch-synced."""
     out = fn(x)
-    jax.block_until_ready(out)
+    _hard_sync(out)
     best = float("inf")
     for _ in range(4):
         out = x
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(out)
-        jax.block_until_ready(out)
+        _hard_sync(out)
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 
@@ -77,12 +86,12 @@ def probe(quiet=False):
     # inputs can return at dispatch cost on this rig (dedup somewhere in
     # the relay), so every call must have fresh inputs
     u = sweep(x, v)
-    jax.block_until_ready(u)
+    _hard_sync(u)
     dt = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
         u = sweep(u, v)
-        jax.block_until_ready(u)
+        _hard_sync(u)
         dt = min(dt, time.perf_counter() - t0)
     hbm = reps * 3 * nbytes / dt / 1e9
 
