@@ -60,4 +60,5 @@ def main():
         print(json.dumps({"form": form, "msps": round(best, 1)}),
               flush=True)
 
-main()
+if __name__ == "__main__":
+    main()
