@@ -258,3 +258,20 @@ def test_sharded_paths():
                                wave_type=[WaveType.DIRECT] * 2)
     _assert_plan_matches(cmd2, source=src, mesh=mesh,
                          expect=[("A_RX2", "sharded_replay", None)])
+
+
+def test_replay_chirp_at_when_period_incommensurate(monkeypatch):
+    """A looped CHIRP recording whose chirp period does NOT divide the
+    block takes the in-place lock-in (chirp_at), not the table form."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rec = (RNG.standard_normal(400_000) +
+           1j * RNG.standard_normal(400_000)).astype(np.complex64)
+    src = ArraySource(rec)
+    src.loop = True
+    cmd = UsrpParams()
+    # steps=300, t=0.03 -> period 30_000 samples; block 100_000
+    cmd.A_RX2 = _replay_rx(WaveType.CHIRP, samples=400_000, decim=1,
+                           freq=[-300_000], chirp_f=[300_000],
+                           chirp_t=[0.03], swipe_s=[300])
+    _assert_plan_matches(
+        cmd, source=src, expect=[("A_RX2", "device_replay", "chirp_at")])

@@ -24,7 +24,6 @@ binding resource from these numbers.
 Run: nohup python tools/perf_config_ladder.py > logs/config_ladder.log 2>&1 &
 """
 
-import functools
 import json
 import sys
 import time
