@@ -91,6 +91,31 @@ def use_pallas_pfb() -> bool:
         return False
 
 
+def pad_lanes() -> bool:
+    """Whether kernel-backed chains should pad their channel axis up to
+    the 128-lane hardware granularity (zero-amplitude dummy tones,
+    sliced off host-side after fetch).  A sub-128 channel count makes
+    every output tile a lane-MASKED HBM write, which caps the write
+    stream at ~212 GB/s useful vs 429 GB/s dense (measured,
+    tools/perf_c3_ladder.py 2026-08-21: config 3 at C'=100 is write-
+    bound at 18.6 Gsps vs 39.3 for the identical kernel at C'=128);
+    the padding itself costs nothing extra in HBM because the masked
+    write already streams the padded physical tile.
+    GPU_SDR_TPU_PAD_LANES=1/0 forces it; default ("auto") enables it on
+    TPU backends only (on CPU the padding just multiplies interpret-mode
+    compute)."""
+    v = os.environ.get("GPU_SDR_TPU_PAD_LANES", "auto").lower()
+    if v in ("0", "off", "false", "no"):
+        return False
+    if v in ("1", "on", "true", "yes"):
+        return True
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def matmul_precision() -> str:
     """The framework's resolved matmul precision ('bfloat16' /
     'tensorfloat32' / 'float32' / 'highest')."""

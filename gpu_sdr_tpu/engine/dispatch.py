@@ -27,8 +27,6 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
-import numpy as np
-
 from ..params import AntMode, UsrpParams, WaveType
 
 # top-level paths
@@ -190,35 +188,20 @@ def classify_device_replay(rx, n: int, loop: bool):
         if kind:
             return kind, "looped DIRECT recording, tileable"
 
-    if (loop and n % L == 0 and w in (WaveType.TONES, WaveType.NOISE) and
-            int(rx.fft_tones) > 0 and use_pallas_pfb()):
-        from ..ops.pallas_pfb import _HALO_PAD, _pick_bt
-        nfft, avg = int(rx.fft_tones), int(rx.pf_average)
-        decim = int(rx.decim)
-        frames_pb = L // nfft
-        bt = _pick_bt(frames_pb, nfft)
-        if (L % nfft == 0 and n % nfft == 0 and bt and
-                bt % _HALO_PAD == 0 and 0 < avg - 1 <= _HALO_PAD and
-                frames_pb % bt == 0 and
-                (n // nfft) % _HALO_PAD == 0 and
-                (decim == 0 or frames_pb % decim == 0)):
-            return "pfb_at", "in-place PFB pre-sum over the recording"
+    # pfb/chirp gates shared with the DeviceReplay builders
+    # (engine/replay.plan_pfb_replay / plan_chirp_replay): one plan
+    # function on the replay side, called from both __post_init__ and
+    # this mirror, so the table cannot drift (ADVICE r4)
+    from .replay import plan_chirp_replay, plan_pfb_replay
+    if plan_pfb_replay(rx, n, L, loop):
+        return "pfb_at", "in-place PFB pre-sum over the recording"
 
-    if (loop and n % L == 0 and w == WaveType.CHIRP and
-            int(rx.decim) >= 1 and use_pallas_pfb()):
-        from ..ops import chirp as chirp_ops
-        from ..params import chirp_steps_and_length
-        from .replay import DEVICE_REPLAY_MAX_BYTES
-        steps, length = chirp_steps_and_length(rx)
-        cfg = chirp_ops.ChirpConfig.from_params(
-            rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
-        ppt = length * int(rx.decim)
-        if L % ppt == 0 and (L // ppt) % 8 == 0:
-            if (cfg.period % L == 0 and
-                    cfg.period * 8 <= DEVICE_REPLAY_MAX_BYTES):
-                return "chirp_table", ("period-commensurate recording, "
-                                       "table-oscillator lock-in")
-            return "chirp_at", "in-place lock-in over the recording"
+    kind = plan_chirp_replay(rx, n, L, loop)
+    if kind == "chirp_table":
+        return "chirp_table", ("period-commensurate recording, "
+                               "table-oscillator lock-in")
+    if kind == "chirp_at":
+        return "chirp_at", "in-place lock-in over the recording"
 
     return "scan", "generic dynamic_slice scan"
 

@@ -25,6 +25,30 @@ from .generator import make_generator
 from .pipeline import PipelineResult
 
 
+def _pad_tone_lists(freqs, ampls, rx_freqs, rate):
+    """Extend (tx_freqs, tx_ampls, rx_freqs) with the SAME zero-amplitude
+    dummy tones up to the next 128 multiple of the RX channel count, so
+    the fold kernel's output tiles are lane-dense (config.pad_lanes).
+    Padding both sides identically preserves the kernel's self-ramp
+    identity (rx list == tx list mod rate).  Returns the padded tuples
+    and the pad count (0 = already dense)."""
+    Cp = len(rx_freqs)
+    pad = (-Cp) % 128
+    if pad == 0:
+        return freqs, ampls, rx_freqs, 0
+    used = {int(f) % rate for f in freqs} | \
+           {int(f) % rate for f in rx_freqs}
+    dummies = []
+    f = 1
+    while len(dummies) < pad:
+        if f % rate not in used:
+            dummies.append(f)
+            used.add(f % rate)
+        f += 1
+    return (tuple(freqs) + tuple(dummies), tuple(ampls) + (0.0,) * pad,
+            tuple(rx_freqs) + tuple(dummies), pad)
+
+
 @dataclasses.dataclass
 class FusedLoopback:
     """Compiled K-blocks-per-execution loopback chain."""
@@ -59,7 +83,10 @@ class FusedLoopback:
             # applied to CHIRP)
             self._init_states = lambda: (chain.init_state(), ())
             rows = self.demod.plan.out_rows
-            Cp = self.demod.n_channels
+            # lane-padded chains emit extra dead channels, sliced off
+            # host-side in run_chunked after the fetch
+            Cp = getattr(chain, "out_channels", None) or \
+                self.demod.n_channels
 
             def _multi_impl(gstate, dstate):
                 gstate, y = chain.multi_step(gstate, K)
@@ -134,7 +161,7 @@ class FusedLoopback:
                 return chain
             if min(len(freqs), len(rx.freq)) < 8:
                 return None     # small comb, untileable: wavetable path
-        from ..config import kernel_dot_precision
+        from ..config import kernel_dot_precision, pad_lanes
         from ..ops.ddc import DirectDDCConfig
         from ..ops.fold_chain import TonesDirectFoldChain
         from ..ops.pallas_chain import TonesDirectFoldKernel
@@ -146,12 +173,32 @@ class FusedLoopback:
         if use_pallas_pfb() and kernel_dot_precision() == "tf32":
             # shift-fold algebra in ONE HBM pass: 11.4 Gsps vs 9.2 for
             # the XLA fold scan at the config-3 shape
-            # (tools/perf_fold_kernel.py, 2026-08-20)
+            # (tools/perf_fold_kernel.py, 2026-08-20).  A sub-128 channel
+            # count makes every output tile a lane-MASKED write (212 vs
+            # 429 GB/s dense, tools/perf_c3_ladder.py): pad both tone
+            # lists with zero-amplitude dummies to the next 128 multiple
+            # and slice the dead lanes off host-side after fetch
+            # (run_chunked) — the masked write already streamed the
+            # padded physical tile, so the padding costs no extra HBM.
+            kfreqs, kampls, krx, n_pad = _pad_tone_lists(
+                freqs, ampls, rx_freqs, int(tx.rate)) if pad_lanes() \
+                else (freqs, ampls, rx_freqs, 0)
+            kcfg = dcfg if not n_pad else DirectDDCConfig(
+                rate=int(rx.rate), decim=int(rx.decim),
+                pf_average=int(rx.pf_average), freqs=krx,
+                phases=(0,) * len(krx))
             chain = TonesDirectFoldKernel(rate=int(tx.rate),
-                                          tx_freqs=freqs, tx_ampls=ampls,
-                                          cfg=dcfg, block_len=L)
+                                          tx_freqs=kfreqs, tx_ampls=kampls,
+                                          cfg=kcfg, block_len=L)
             if chain.ok:
+                chain.out_channels = kcfg.n_channels
                 return chain
+            if n_pad:          # padded form untileable: retry unpadded
+                chain = TonesDirectFoldKernel(
+                    rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls,
+                    cfg=dcfg, block_len=L)
+                if chain.ok:
+                    return chain
         chain = TonesDirectFoldChain(rate=int(tx.rate), tx_freqs=freqs,
                                      tx_ampls=ampls, cfg=dcfg,
                                      block_len=L)

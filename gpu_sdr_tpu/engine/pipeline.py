@@ -61,6 +61,11 @@ def run_chunked(step, init_state, n_exec: int, n_blocks: int,
     def drain(ys):
         nonlocal rows, pkt
         data = conv(ys)[:max(0, n_blocks - pkt)]
+        if data.ndim == 3 and data.shape[2] > channels:
+            # lane-padded chain (config.pad_lanes): drop the dead
+            # channels host-side — the fetch already happened, so this
+            # is a numpy view copy, not a device pass
+            data = data[:, :, :channels]
         for k in range(data.shape[0]):
             d = data[k]
             meta = PacketMeta(usrp_number=usrp_number,

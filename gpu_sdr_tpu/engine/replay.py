@@ -35,6 +35,48 @@ from .pipeline import PipelineResult
 DEVICE_REPLAY_MAX_BYTES = 2 << 30
 
 
+def plan_pfb_replay(rx, n: int, L: int, loop: bool) -> bool:
+    """Pure shape-math gate of DeviceReplay._try_pfb_replay, shared with
+    engine/dispatch.classify_device_replay so the plan cannot drift from
+    the builder (ADVICE r4)."""
+    from ..config import use_pallas_pfb
+    from ..ops.pallas_pfb import _HALO_PAD, _pick_bt
+    from ..params import WaveType
+    w = rx.wave_type[0] if rx.wave_type else None
+    if not (loop and n % L == 0 and w in (WaveType.TONES, WaveType.NOISE)
+            and int(rx.fft_tones) > 0 and use_pallas_pfb()):
+        return False
+    nfft, avg = int(rx.fft_tones), int(rx.pf_average)
+    decim = int(rx.decim)
+    frames_pb = L // nfft
+    bt = _pick_bt(frames_pb, nfft)
+    return bool(L % nfft == 0 and n % nfft == 0 and bt and
+                bt % _HALO_PAD == 0 and 0 < avg - 1 <= _HALO_PAD and
+                frames_pb % bt == 0 and (n // nfft) % _HALO_PAD == 0 and
+                (decim == 0 or frames_pb % decim == 0))
+
+
+def plan_chirp_replay(rx, n: int, L: int, loop: bool):
+    """'chirp_table' / 'chirp_at' / None — the pure shape-math gate of
+    DeviceReplay._try_chirp_replay, shared with classify_device_replay."""
+    from ..config import use_pallas_pfb
+    from ..ops import chirp as chirp_ops
+    from ..params import WaveType, chirp_steps_and_length
+    w = rx.wave_type[0] if rx.wave_type else None
+    if not (loop and n % L == 0 and w == WaveType.CHIRP and
+            int(rx.decim) >= 1 and use_pallas_pfb()):
+        return None
+    steps, length = chirp_steps_and_length(rx)
+    cfg = chirp_ops.ChirpConfig.from_params(
+        rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
+    ppt = length * int(rx.decim)
+    if L % ppt != 0 or (L // ppt) % 8 != 0:
+        return None
+    if cfg.period % L == 0 and cfg.period * 8 <= DEVICE_REPLAY_MAX_BYTES:
+        return "chirp_table"
+    return "chirp_at"
+
+
 @dataclasses.dataclass
 class DeviceReplay:
     """Compiled K-blocks-per-execution demodulation of an HBM-resident
@@ -156,27 +198,18 @@ class DeviceReplay:
         scalar-prefetched block index (ops/pallas_pfb.pallas_presum_at);
         the spare carry disappears (a block's leading halo rows ARE the
         recording rows preceding it, wrapping at the loop seam)."""
-        from ..config import use_pallas_pfb
         from ..ops import pfb as pfb_ops
-        from ..ops.pallas_pfb import _HALO_PAD, _pick_bt, pallas_presum_at
+        from ..ops.pallas_pfb import pallas_presum_at
         from ..params import WaveType
         rx = self.rx
         w = rx.wave_type[0] if rx.wave_type else None
         full_spectrum = w == WaveType.NOISE
-        if not (self.loop and n % L == 0 and
-                w in (WaveType.TONES, WaveType.NOISE) and
-                int(rx.fft_tones) > 0 and use_pallas_pfb()):
+        if not plan_pfb_replay(rx, n, L, self.loop):
             return None
         nfft, avg = int(rx.fft_tones), int(rx.pf_average)
         decim = int(rx.decim)
         frames_pb = L // nfft
         total_frames = n // nfft
-        bt = _pick_bt(frames_pb, nfft)
-        if not (L % nfft == 0 and n % nfft == 0 and bt and
-                bt % _HALO_PAD == 0 and 0 < avg - 1 <= _HALO_PAD and
-                frames_pb % bt == 0 and total_frames % _HALO_PAD == 0 and
-                (decim == 0 or frames_pb % decim == 0)):
-            return None
         # DFT / select configuration mirrors demodulator._build_pfb
         bins = None if full_spectrum else tuple(
             int(b) for b in pfb_ops.tone_bins(rx.freq, rx.rate, nfft))
@@ -226,34 +259,27 @@ class DeviceReplay:
         the recording (ops/pallas_lockin.pallas_chirp_lockin_at); the
         carried state is the stream's uint32 chirp phase position (the
         lock-in segments are disjoint — no halo at all)."""
-        from ..config import use_pallas_pfb
         from ..ops import chirp as chirp_ops
         from ..ops import lockin as lockin_ops
         from ..ops.pallas_lockin import pallas_chirp_lockin_at
-        from ..params import WaveType, chirp_steps_and_length
+        from ..params import chirp_steps_and_length
         rx = self.rx
-        if not (self.loop and n % L == 0 and rx.wave_type and
-                rx.wave_type[0] == WaveType.CHIRP and
-                int(rx.decim) >= 1 and use_pallas_pfb()):
+        kind = plan_chirp_replay(rx, n, L, self.loop)
+        if kind is None:
             return None
         steps, length = chirp_steps_and_length(rx)
         cfg = chirp_ops.ChirpConfig.from_params(
             rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
         ppt = length * int(rx.decim)
-        if L % ppt != 0:
-            return None
         nseg_pb = L // ppt
-        if nseg_pb % 8 != 0:
-            return None
         profile = jnp.asarray(lockin_ops.lockin_profile(ppt))
         buf = np.asarray(self.data, dtype=np.complex64)
         xc = cplx.from_np(buf)
         Xf = C(xc.re.reshape(n // ppt, ppt), xc.im.reshape(n // ppt, ppt))
         self.n_rec_blocks = nblk = n // L
         K = self.blocks_per_exec
-        period = cfg.period
 
-        if period % L == 0 and period * 8 <= DEVICE_REPLAY_MAX_BYTES:
+        if kind == "chirp_table":
             return self._chirp_table_replay(cfg, profile, Xf, nblk,
                                             nseg_pb, L, K)
 

@@ -28,8 +28,17 @@ from .params import AntMode, UsrpParams
 # the execution paths the last run_measurement call actually took, one
 # (rx_name, path, subpath) per RX antenna — mirrors the predictions of
 # engine/dispatch.plan_dispatch (tests/test_dispatch_table.py asserts
-# they agree; docs/07_dispatch.md is the human-readable table)
+# they agree; docs/07_dispatch.md is the human-readable table).
+# Module-level state is safe under the one-process-owns-the-chip model
+# (CLAUDE.md); concurrent run_measurement calls would interleave records,
+# so consumers should snapshot via last_dispatch() right after the call.
 LAST_DISPATCH: list = []
+
+
+def last_dispatch() -> tuple:
+    """Immutable snapshot of the execution paths the most recent
+    run_measurement call took (one (rx_name, path, subpath) per RX)."""
+    return tuple(LAST_DISPATCH)
 
 
 def _record_dispatch(rx_name: str, path: str, subpath=None) -> None:

@@ -369,6 +369,57 @@ def _fold_kernel(R: int, self_ramp: bool, *refs):
     yi_ref[:] = t_r * di_row + t_i * dr_row
 
 
+def _fold_rotg_kernel(R: int, self_ramp: bool, *refs):
+    """Fold-kernel variant that rotates the (C_t, C') G2 CONSTANT instead
+    of the (R, C_t) P tile (round 5, VERDICT r4 #1).
+
+    y[r,c] = sum_t P1[r,t] * crot[t] * G2[t,c] — the per-tile synthesis
+    rotation is a diagonal in t, so it commutes onto G2:
+    y = P1 @ (diag(crot) @ G2).  P1 is constant, so its Karatsuba bf16
+    hi/lo splits are precomputed HOST-side; per tile the VPU does only
+    (a) a diag extraction of the rotation row to a column via one masked
+    lane-reduce against an identity constant (Mosaic has no cheap
+    row->column transpose), (b) the complex scaling + hi/lo splits of the
+    tiny (C_t, C') G2, and (c) the output ramp/rotation — where the
+    streamed-rotation form pays the rotate + three hi/lo splits on every
+    (R, C_t) tile.  Same MXU pass count, same product set (drop-lo*lo
+    order), ~half the per-tile VPU work at config-3 shapes.
+    """
+    if self_ramp:
+        (p1rh_ref, p1rl_ref, p1ih_ref, p1il_ref, p1sh_ref, p1sl_ref,
+         g2r_ref, g2i_ref, eye_ref, p1r_ref, p1i_ref,
+         cr_ref, ci_ref, qdr_ref, qdi_ref,
+         yr_ref, yi_ref) = refs
+    else:
+        (p1rh_ref, p1rl_ref, p1ih_ref, p1il_ref, p1sh_ref, p1sl_ref,
+         g2r_ref, g2i_ref, eye_ref, rr_ref, ri_ref,
+         cr_ref, ci_ref, qdr_ref, qdi_ref,
+         yr_ref, yi_ref) = refs
+    cr_row, ci_row = cr_ref[0:1], ci_ref[0:1]         # (1, C_t)
+    dr_row, di_row = qdr_ref[0:1], qdi_ref[0:1]
+    eye = eye_ref[:]                                  # (C_t, C_t) identity
+    col_r = jnp.sum(cr_row * eye, axis=1, keepdims=True)   # (C_t, 1)
+    col_i = jnp.sum(ci_row * eye, axis=1, keepdims=True)
+    g2r, g2i = g2r_ref[:], g2i_ref[:]                 # (C_t, C') f32
+    gr = col_r * g2r - col_i * g2i
+    gi = col_r * g2i + col_i * g2r
+    grh, grl = _hilo(gr)
+    gih, gil = _hilo(gi)
+    gsh, gsl = _hilo(gr + gi)
+    rr = _psdot(p1rh_ref[:], p1rl_ref[:], grh, grl)
+    ii = _psdot(p1ih_ref[:], p1il_ref[:], gih, gil)
+    ri = _psdot(p1sh_ref[:], p1sl_ref[:], gsh, gsl)
+    acc_r, acc_i = rr - ii, ri - rr - ii
+    if self_ramp:
+        ramp_r, ramp_i = p1r_ref[:], -p1i_ref[:]
+    else:
+        ramp_r, ramp_i = rr_ref[:], ri_ref[:]
+    t_r = acc_r * ramp_r - acc_i * ramp_i
+    t_i = acc_r * ramp_i + acc_i * ramp_r
+    yr_ref[:] = t_r * dr_row - t_i * di_row
+    yi_ref[:] = t_r * di_row + t_i * dr_row
+
+
 @dataclasses.dataclass
 class TonesDirectFoldKernel:
     """Single-kernel shift-fold TONES->DIRECT loopback.
@@ -400,6 +451,7 @@ class TonesDirectFoldKernel:
     interpret: bool | None = None
     time_shards: int = 1     # tile rows must divide the per-shard rows
     rows: int | None = None  # tile height override (perf tuning)
+    rotg: bool = False       # rotate G2 in-kernel instead of the P tile
 
     def __post_init__(self):
         W, L, M, f = self.rate, self.block_len, self.cfg.M, self.cfg.f
@@ -450,6 +502,7 @@ class TonesDirectFoldKernel:
         self._G2 = tuple(jnp.asarray(a) for pair in
                          (_np_hilo(g_re), _np_hilo(g_im),
                           _np_hilo(g_re + g_im)) for a in pair)
+        self._G2f = (jnp.asarray(g_re), jnp.asarray(g_im))
         self._G2p = cplx.const(G2p.astype(np.complex64))
         self._ramp = self.cfg.carrier_ramp(nb)
         # Row-direction Vandermonde factoring (round 4): P[r + b*R, t] =
@@ -464,6 +517,15 @@ class TonesDirectFoldKernel:
         pbph = (fr[None, :] * ((b[:, None] * R * M) % W)) % W
         PB = np.exp(2j * np.pi * (pbph / float(W)))
         self._P1 = cplx.const(P[:R].astype(np.complex64))
+        # rotg variant constants: P1's Karatsuba splits precomputed (the
+        # per-tile rotation moves onto G2 in-kernel), plus the identity
+        # used for the rotation row->column diag extraction
+        p1_re = P[:R].real.astype(np.float32)
+        p1_im = P[:R].imag.astype(np.float32)
+        self._P1s = tuple(jnp.asarray(a) for pair in
+                          (_np_hilo(p1_re), _np_hilo(p1_im),
+                           _np_hilo(p1_re + p1_im)) for a in pair)
+        self._eye = jnp.eye(Ct, dtype=jnp.float32)
         self._PB = cplx.const(PB.astype(np.complex64))
         frx = np.asarray(self.cfg.freqs, dtype=np.int64) % W
         rbph = (frx[None, :] * ((b[:, None] * R * M) % W)) % W
@@ -650,13 +712,65 @@ class TonesDirectFoldKernel:
           crots.re, crots.im, qrots.re, qrots.im)
         return C(y_re, y_im)
 
+    def invoke_factored_rotg(self, crots, qrots, K: int,
+                             interpret: bool | None = None):
+        """`invoke_factored` with the per-tile rotation applied to the
+        (C_t, C') G2 constant in-kernel (see _fold_rotg_kernel): P1 rides
+        as HOST-presplit bf16 constants, so the per-tile VPU never touches
+        an (R, C_t)-sized rotate or split."""
+        import jax.experimental.pallas as pl
+        R = self.R
+        Ct, Cp = self.Ct, self.Cp
+        n_tiles = crots.re.shape[0] // 8
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        kernel = functools.partial(_fold_rotg_kernel, R, self.self_ramp)
+        out_shape = (jax.ShapeDtypeStruct((n_tiles * R, Cp), jnp.float32),
+                     jax.ShapeDtypeStruct((n_tiles * R, Cp), jnp.float32))
+        const = lambda r: (0, 0)
+        per_tile = lambda r: (r, 0)
+        p1_spec = pl.BlockSpec((R, Ct), const)
+        mid_specs = ([p1_spec, p1_spec] if self.self_ramp else
+                     [pl.BlockSpec((R, Cp), const)] * 2)
+        mid_args = ((self._P1.re, self._P1.im) if self.self_ramp else
+                    (self._ramp1.re, self._ramp1.im))
+        y_re, y_im = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                p1_spec, p1_spec,                            # P1 re hi/lo
+                p1_spec, p1_spec,                            # P1 im hi/lo
+                p1_spec, p1_spec,                            # P1 sum hi/lo
+                pl.BlockSpec((Ct, Cp), const),               # G2 re
+                pl.BlockSpec((Ct, Cp), const),               # G2 im
+                pl.BlockSpec((Ct, Ct), const),               # eye
+                *mid_specs,                                  # P1 f32 | ramp1
+                pl.BlockSpec((8, Ct), per_tile),             # crot re
+                pl.BlockSpec((8, Ct), per_tile),             # crot im
+                pl.BlockSpec((8, Cp), per_tile),             # qrot re
+                pl.BlockSpec((8, Cp), per_tile),             # qrot im
+            ],
+            out_specs=(
+                pl.BlockSpec((R, Cp), lambda r: (r, 0)),
+                pl.BlockSpec((R, Cp), lambda r: (r, 0)),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*self._P1s, *self._G2f, self._eye, *mid_args,
+          crots.re, crots.im, qrots.re, qrots.im)
+        return C(y_re, y_im)
+
     def multi_step(self, state, K: int):
         """Demodulate K consecutive blocks in ONE kernel invocation."""
         f, W = self.cfg.f, self.rate
         sph0, dph0, pv = state
         if self.time_shards == 1:
             state, crots, qrots = self.block_rotations_factored(state, K)
-            y = self.invoke_factored(crots, qrots, K, self.interpret)
+            if self.rotg:
+                y = self.invoke_factored_rotg(crots, qrots, K,
+                                              self.interpret)
+            else:
+                y = self.invoke_factored(crots, qrots, K, self.interpret)
         else:
             state, srots, drots = self.block_rotations(state, K)
             y = self.invoke(self._P, self._G2, self._ramp, srots, drots,

@@ -53,6 +53,13 @@ struct IngestServer {
     if (listen_fd < 0) return false;
     int one = 1;
     ::setsockopt(listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    // deep kernel buffer, set on the LISTENING socket: the TCP window
+    // scale factor is negotiated at SYN time from this socket's buffer,
+    // so setting it only on the accepted fd (post-handshake) caps the
+    // advertised window below the 8 MB intent (ADVICE r4); accepted
+    // sockets inherit it
+    int buf = 8 * 1024 * 1024;
+    ::setsockopt(listen_fd, SOL_SOCKET, SO_RCVBUF, &buf, sizeof(buf));
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
     addr.sin_addr.s_addr = htonl(INADDR_ANY);
@@ -77,8 +84,10 @@ struct IngestServer {
     if (c >= 0) {
       int one = 1;
       ::setsockopt(c, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-      // deep kernel buffer: rides bursts through consumer stalls (the
-      // role of the reference's NIC ring tuning, tools/ubuntu_lan_config)
+      // deep kernel buffer inherited from the listening socket (set
+      // there so the window scale covers it); re-assert for safety —
+      // rides bursts through consumer stalls (the role of the
+      // reference's NIC ring tuning, tools/ubuntu_lan_config)
       int buf = 8 * 1024 * 1024;
       ::setsockopt(c, SOL_SOCKET, SO_RCVBUF, &buf, sizeof(buf));
       client_fd = c;

@@ -168,3 +168,41 @@ def test_fused_channelizer_chain_tones_and_noise(monkeypatch):
     quiet = np.delete(mags, b0)
     assert mags[b0[0]] > 50 * quiet.mean()
     assert mags[b0[1]] > 25 * quiet.mean()
+
+
+def test_fused_fold_kernel_lane_padded(monkeypatch):
+    """config.pad_lanes: a sub-128 channel count gets zero-amplitude
+    dummy tones up to the next 128 multiple (lane-DENSE output writes:
+    212 -> 429 GB/s measured, tools/perf_c3_ladder.py) and the dead
+    channels are sliced off host-side in run_chunked — results must
+    match the unpadded chain exactly (the dummies carry zero
+    amplitude)."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu import golden
+    rate = 1_000_000
+    freqs = [12_345, -67_891, 300_001]          # non-periodic comb
+    tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=100_000,
+                       samples=400_000, freq=freqs, ampl=[0.3, 0.3, 0.4],
+                       wave_type=[WaveType.TONES] * 3, delay=1.0)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=100_000,
+                       samples=400_000, freq=freqs, decim=100,
+                       pf_average=4,
+                       wave_type=[WaveType.DIRECT] * 3, delay=1.0)
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "0")
+    fused0 = FusedLoopback(tx, rx, blocks_per_exec=2)
+    assert fused0.path == "fold_kernel"
+    s0 = MemorySink()
+    fused0.run([s0])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "1")
+    fused1 = FusedLoopback(tx, rx, blocks_per_exec=2)
+    assert fused1.path == "fold_kernel"
+    assert fused1._chain.out_channels == 128
+    assert fused1._chain.self_ramp, \
+        "identical dummies on both sides must preserve self-ramp"
+    s1 = MemorySink()
+    fused1.run([s1])
+
+    assert s1.data.shape == s0.data.shape, "host slice restores channels"
+    snr = golden.snr_db(s0.data, s1.data)
+    assert snr > 110, f"padded vs unpadded: {snr:.1f} dB"

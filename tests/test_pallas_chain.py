@@ -241,3 +241,29 @@ def test_fold_kernel_factored_matches_streamed():
         b = _cplx.to_np(y_s)
         snr = golden.snr_db(b, a)
         assert snr > 110, f"factored vs streamed: {snr:.1f} dB"
+
+
+def test_fold_kernel_rotg_matches_factored():
+    """The rotate-G2 variant (_fold_rotg_kernel: per-tile rotation moved
+    onto the small G2 constant, P1 presplit host-side) must match the
+    factored form for both ramp configurations.  Perf-rejected on chip
+    (18.3 vs 18.6 Gsps, tools/perf_c3_ladder.py — the kernel is
+    write-bound, not VPU-bound) but kept available and correct."""
+    rate = 1_000_000
+    tx_freqs = (12_345, -67_891, 300_001)
+    for rx_freqs in (tx_freqs,                      # self_ramp
+                     (12_345, -67_891, 299_999)):   # streamed ramp
+        cfg = DirectDDCConfig(rate=rate, decim=100, pf_average=4,
+                              freqs=rx_freqs, phases=(0,) * 3)
+        kw = dict(rate=rate, tx_freqs=tx_freqs, tx_ampls=(0.3, 0.3, 0.4),
+                  cfg=cfg, block_len=100_000, interpret=True)
+        a = TonesDirectFoldKernel(**kw)
+        b = TonesDirectFoldKernel(rotg=True, **kw)
+        assert a.ok and b.ok
+        sa, sb = a.init_state(), b.init_state()
+        for _ in range(2):                          # state carry too
+            sa, ya = a.multi_step(sa, 2)
+            sb, yb = b.multi_step(sb, 2)
+            snr = golden.snr_db(cplx.to_np(ya).ravel(),
+                                cplx.to_np(yb).ravel())
+            assert snr > 95, f"rotg vs factored: {snr:.1f} dB"
