@@ -36,7 +36,8 @@ def _time_replay(dr, label):
         t0 = time.perf_counter()
         for _ in range(n_exec):
             state, idx, ys = dr._multi(state, idx, dr._Xarg)
-        jax.block_until_ready(ys)
+        # hard_sync ONLY: a per-round block_until_ready on the large
+        # output costs ~20% through this relay (tools/perf_bur_cost.py)
         hard_sync(ys)
         dt = time.perf_counter() - t0
         best = max(best, n_exec * K * L / dt / 1e6)

@@ -1,70 +1,145 @@
-"""Same-run perf regression gate (VERDICT r3 #8).
+"""Same-run perf regression gate, anchor-normalized (VERDICT r4 #3).
 
-Runs the headline chain (bench.py's fused channelizer) AND BASELINE
-configs 1-4 back-to-back in ONE process and compares each against its
-recorded band.  Per-config numbers previously mixed measurement dates,
-so a silent single-config regression would pass every test; this gate
-is the missing mechanism, and is the perf step of the verify recipe
-(.claude/skills/verify/SKILL.md).
+Runs the headline chain, BASELINE configs 1-5 AND the device-replay
+sub-paths (ReplayDDCT at C=1/C=8, the chirp-table lock-in, the in-place
+PFB pre-sum) back-to-back in ONE process, measures the day's XLA
+elementwise anchor in the SAME process, and gates each row on its
+msps / anchor ratio against the recorded ratio.
 
-Bands: the latest recorded same-run sweep (docs/05_performance.md
-per-config table) with the rig's documented drift allowance.  The
-rig's LARGE-program throughput drifts up to ~25% across hours
-(multi-tenant/thermal; CLAUDE.md), so the pass threshold is
-0.65 x recorded — tight enough to catch any real (>=1.5x) regression,
-loose enough that drift alone cannot fail the gate.
+Why ratios: the rig's LARGE-program throughput drifts up to ~25% across
+hours (multi-tenant/thermal; CLAUDE.md), so the round-4 gate floored at
+0.65 x recorded absolute Msps — loose enough that a 34% single-config
+regression passed.  The anchor drifts WITH the chains (both ride the
+same HBM/dispatch machinery), so normalizing by a same-process anchor
+cancels most of the drift and allows a 0.85 floor that catches ~20%
+regressions.  Config 5 additionally gates its dual/single split ratio,
+which is dimensionless already.
 
-One JSON line per config: {"config", "msps", "band_min", "recorded",
-"pass"}; exits 1 if any config falls below its band.
+One JSON line per row: {"config", "msps", "ratio", "band_min_ratio",
+"recorded_ratio", "pass"}; exits 1 if any row falls below its band.
+Pass --record to print the measured ratios formatted for updating BANDS
+after an intentional perf change.
 
 Run:  nohup python tools/perf_regress.py > logs/perf_regress.log 2>&1 &
 """
 
 import json
 import sys
+import time
+
+import numpy as np
 
 sys.path.insert(0, ".")
 
-# recorded same-run sweep values (Msps) and the drift-allowance floor
-DRIFT_FLOOR = 0.65
-# 2026-08-21 definitive same-run sweep (logs/perf_regress4.log):
-# BUR-free timing + single-fetch lock-in + stacked-taps replay kernel
-# + factored fold kernel
+RATIO_FLOOR = 0.85
+# recorded msps/anchor_gbps ratios — 2026-08-21 round-5 sweep
+# (logs/perf_regress5.log, anchor that day: 448.5 GB/s), after the
+# lane-padded fold chain (config 3: 185x -> ~380x)
 BANDS = {
-    "headline_1000ch_channelizer": 26_305,
-    "1_single_tone_ddc_fir": 26_346,
-    "2_vna_chirp_lockin": 52_932,
-    "3_100tone_readout": 18_489,
-    "4_full_spectrum": 20_513,
+    "headline_1000ch_channelizer": 59.1,
+    "1_single_tone_ddc_fir": 60.7,
+    "2_vna_chirp_lockin": 119.3,
+    "3_100tone_readout": 89.0,
+    "4_full_spectrum": 46.5,
+    "5_dual_1000tone_per_frontend": 15.0,
+    "replay_ddct_c1": 62.4,
+    "replay_ddct_c8": 102.6,
+    "replay_chirp_table": 33.7,
+    "replay_pfb_at": 19.1,
 }
+# dual/single split ratio (dimensionless, gated directly)
+SPLIT_BAND = 0.438
+
+
+def hard_sync(x):
+    import jax
+    import jax.numpy as jnp
+    arr = x.re if hasattr(x, "re") else x
+    return float(np.asarray(jax.device_get(jnp.ravel(arr)[0])))
+
+
+def measure_anchor():
+    """The day's XLA elementwise ceiling (3-pass axpy fori probe), GB/s."""
+    import jax
+    import jax.numpy as jnp
+    n_el = 64 * 1024 * 1024
+    u0 = jax.random.normal(jax.random.PRNGKey(0), (n_el,), jnp.float32)
+    v0 = jax.random.normal(jax.random.PRNGKey(1), (n_el,), jnp.float32)
+    REP = 48
+
+    @jax.jit
+    def sweep(u, v):
+        def body(k, uu):
+            return uu * (jnp.float32(1.0)
+                         + jnp.float32(1e-12) * uu[0]) + v
+        return jax.lax.fori_loop(0, REP, body, u)
+
+    u = sweep(u0, v0)
+    hard_sync(u)
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        u = sweep(u, v0)
+        hard_sync(u)
+        best = min(best, time.perf_counter() - t0)
+    return REP * 3 * 4 * n_el / best / 1e9
+
+
+def time_replay(dr, target=4_096_000_000):
+    """Steady-state device-replay rate, fetch-synced (hard_sync ONLY —
+    a per-round block_until_ready costs ~20%, tools/perf_bur_cost.py)."""
+    import jax.numpy as jnp
+    state = (dr._kernel_state_init() if dr._kernel_path is not None
+             else dr.demod.init_state())
+    idx = jnp.int32(0)
+    state, idx, ys = dr._multi(state, idx, dr._Xarg)
+    hard_sync(ys)
+    K, L = dr.blocks_per_exec, dr.demod.plan.block_len
+    n_exec = max(1, int(target // (K * L)))
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec):
+            state, idx, ys = dr._multi(state, idx, dr._Xarg)
+        hard_sync(ys)
+        dt = time.perf_counter() - t0
+        best = max(best, n_exec * K * L / dt / 1e6)
+    return best
 
 
 def main():
-    import numpy as np
+    record = "--record" in sys.argv
     import bench
     bench._enable_compile_cache()
     from gpu_sdr_tpu.config import configure_precision
     configure_precision()
+    from gpu_sdr_tpu import golden
+    from gpu_sdr_tpu.engine.replay import DeviceReplay
     from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
     from tools.bench_configs import time_chain
 
+    anchor = measure_anchor()
+    print(json.dumps({"anchor_gbps": round(anchor, 1)}), flush=True)
+
     failures = []
+    recorded_ratios = {}
 
     def gate(name, msps):
+        ratio = msps / anchor
+        recorded_ratios[name] = ratio
         rec = BANDS[name]
-        band_min = rec * DRIFT_FLOOR
-        ok = msps >= band_min
-        if not ok:
+        band_min = rec * RATIO_FLOOR
+        ok = ratio >= band_min
+        if not ok and not record:
             failures.append(name)
         print(json.dumps({"config": name, "msps": round(msps, 1),
-                          "band_min": round(band_min, 1),
-                          "recorded": rec, "pass": ok}), flush=True)
+                          "ratio": round(ratio, 2),
+                          "band_min_ratio": round(band_min, 2),
+                          "recorded_ratio": rec, "pass": ok}), flush=True)
 
     # headline first.  Round lengths must match the recorded
-    # measurements: short rounds understate steady-state rates by up to
-    # 2x via the ~50 ms per-round relay drain (docs/05 "4-exec rounds"
-    # row) — a 4_096M-sample variant of this gate reproduced exactly
-    # that artifact and flagged every config as regressed.
+    # measurements (~16 Gsample rounds): short rounds understate
+    # steady-state rates by up to 2x via the ~50 ms per-round drain.
     gate("headline_1000ch_channelizer",
          bench.bench_loopback_1000(n_blocks=16384))
 
@@ -109,6 +184,101 @@ def main():
     gate("4_full_spectrum",
          time_chain(tx4, rx4, K=64, target_samples=16_384_000_000)[0])
 
+    # ---- config 5: dual 1000-tone lock-step + split ratio -------------
+    from gpu_sdr_tpu.engine.dual import DualFused
+    from gpu_sdr_tpu.engine.fused import FusedLoopback
+    L5, K5 = 4_000_000, 16
+
+    def fe_pair():
+        tx = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=L5,
+                           freq=bins1000, ampl=[0.001] * 1000,
+                           wave_type=[WaveType.TONES] * 1000)
+        rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L5,
+                           fft_tones=1000, pf_average=4, freq=bins1000,
+                           wave_type=[WaveType.TONES] * 1000)
+        return tx, rx
+
+    txa, rxa = fe_pair()
+    fls = FusedLoopback(txa, rxa, blocks_per_exec=K5)
+    g, d, ys = fls._multi(*fls._init_states())
+    hard_sync(ys)
+    n_exec5 = max(1, 8_192_000_000 // (K5 * L5) // 4)
+    single = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec5):
+            g, d, ys = fls._multi(g, d)
+        hard_sync(ys)
+        single = max(single, n_exec5 * K5 * L5 /
+                     (time.perf_counter() - t0) / 1e6)
+    pairs = [("A_RX2",) + fe_pair(), ("B_RX2",) + fe_pair()]
+    dual = DualFused(pairs, blocks_per_exec=K5)
+    states = [ch._init_states() for ch in dual.chains]
+    states, outs = dual._multi_all(states)
+    hard_sync(outs[0])
+    per_fe = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(n_exec5):
+            states, outs = dual._multi_all(states)
+        hard_sync(outs[0])
+        hard_sync(outs[1])
+        per_fe = max(per_fe, n_exec5 * K5 * L5 /
+                     (time.perf_counter() - t0) / 1e6)
+    gate("5_dual_1000tone_per_frontend", per_fe)
+    split = per_fe / single
+    ok = split >= SPLIT_BAND * RATIO_FLOOR
+    if not ok and not record:
+        failures.append("5_split_ratio")
+    print(json.dumps({"config": "5_split_ratio",
+                      "single_msps": round(single, 1),
+                      "split": round(split, 3),
+                      "band_min": round(SPLIT_BAND * RATIO_FLOOR, 3),
+                      "recorded": SPLIT_BAND, "pass": ok}), flush=True)
+
+    # ---- replay sub-paths (half the dispatch table; VERDICT r4 #3) ----
+    rec1 = golden.tone_block([10_000_000], [0.5], rate, 0, 16_000_000)
+    rxr1 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                         samples=1_024_000_000, decim=100, pf_average=4,
+                         freq=[10_000_000], wave_type=[WaveType.DIRECT])
+    dr1 = DeviceReplay(rxr1, rec1, blocks_per_exec=16, loop=True)
+    assert dr1.path == "replay_kernel_t", dr1.path
+    gate("replay_ddct_c1", time_replay(dr1))
+
+    freqs8 = [int(f) for f in np.linspace(-40e6, 40e6, 8)]
+    rec8 = golden.tone_block(freqs8, [0.1] * 8, rate, 0, 16_000_000)
+    rxr8 = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                         samples=1_024_000_000, decim=100, pf_average=4,
+                         freq=freqs8, wave_type=[WaveType.DIRECT] * 8)
+    dr8 = DeviceReplay(rxr8, rec8, blocks_per_exec=16, loop=True)
+    assert dr8.path == "replay_kernel_t", dr8.path
+    gate("replay_ddct_c8", time_replay(dr8))
+
+    rng = np.random.default_rng(1)
+    recc = (rng.standard_normal(16_000_000) +
+            1j * rng.standard_normal(16_000_000)).astype(np.complex64)
+    rxrc = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                         samples=1_024_000_000, freq=[-40_000_000],
+                         chirp_f=[40_000_000], chirp_t=[1.0],
+                         swipe_s=[5000], decim=1,
+                         wave_type=[WaveType.CHIRP])
+    drc = DeviceReplay(rxrc, recc, blocks_per_exec=16, loop=True)
+    assert drc.path == "chirp_table", drc.path
+    gate("replay_chirp_table", time_replay(drc))
+
+    rxrp = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=4_000_000,
+                         samples=1_024_000_000, fft_tones=1000,
+                         pf_average=4, wave_type=[WaveType.NOISE])
+    drp = DeviceReplay(rxrp, recc, blocks_per_exec=16, loop=True)
+    assert drp.path == "pfb_at", drp.path
+    gate("replay_pfb_at", time_replay(drp))
+
+    if record:
+        print(json.dumps({"record_ratios":
+                          {k: round(v, 1)
+                           for k, v in recorded_ratios.items()},
+                          "split": round(split, 3)}), flush=True)
+        return
     if failures:
         print(json.dumps({"regressions": failures}), flush=True)
         sys.exit(1)
