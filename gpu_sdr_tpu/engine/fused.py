@@ -211,8 +211,12 @@ class FusedLoopback:
         from ..ops.pallas_replay import make_replay_ddc
         from ..ops.tonegen import tone_comb_wavetable_block
         from ..ops import cplx
+        from .replay import pad_rx_freqs
         rx = self.rx
-        rx_freqs = tuple(int(f) for f in rx.freq)
+        # lane-pad 9-127 RX channels so the row-major replay kernel's
+        # output tiles write dense (+36% measured,
+        # tools/perf_replay_pad.py); dead channels sliced host-side
+        rx_freqs = pad_rx_freqs(rx.freq, int(rx.rate))
         cfg = DirectDDCConfig(
             rate=int(rx.rate), decim=int(rx.decim),
             pf_average=int(rx.pf_average), freqs=rx_freqs,
@@ -223,7 +227,9 @@ class FusedLoopback:
                              blocks_per_exec=self.blocks_per_exec)
         if not rk.ok:
             return None
-        return _ReplayLoopbackChain(rk)
+        chain = _ReplayLoopbackChain(rk)
+        chain.out_channels = cfg.n_channels
+        return chain
 
     def _try_chirp_chain(self):
         """CHIRP->CHIRP loopback via a one-period chirp wavetable + the

@@ -35,6 +35,31 @@ from .pipeline import PipelineResult
 DEVICE_REPLAY_MAX_BYTES = 2 << 30
 
 
+def pad_rx_freqs(freqs, rate: int):
+    """Lane-pad an RX tone list for the row-major replay kernel
+    (config.pad_lanes): 9-127 channels make every output tile a
+    lane-MASKED write (~212 GB/s useful vs 429 dense; padding measured
+    +36% on the 100-channel DIRECT replay, tools/perf_replay_pad.py).
+    Pads to the next 128 multiple with dummy tones (distinct, unused
+    frequencies); the dead channels are sliced off host-side by
+    run_chunked.  C <= 8 takes the channel-major ReplayDDCT (already
+    dense) and is left alone."""
+    from ..config import pad_lanes
+    C = len(freqs)
+    if not pad_lanes() or C <= 8 or C % 128 == 0:
+        return tuple(int(f) for f in freqs)
+    pad = (-C) % 128
+    used = {int(f) % rate for f in freqs}
+    dummies = []
+    f = 1
+    while len(dummies) < pad:
+        if f % rate not in used:
+            dummies.append(f)
+            used.add(f % rate)
+        f += 1
+    return tuple(int(f) for f in freqs) + tuple(dummies)
+
+
 def plan_pfb_replay(rx, n: int, L: int, loop: bool) -> bool:
     """Pure shape-math gate of DeviceReplay._try_pfb_replay, shared with
     engine/dispatch.classify_device_replay so the plan cannot drift from
@@ -167,7 +192,7 @@ class DeviceReplay:
             return None
         from ..ops.ddc import DirectDDCConfig
         from ..ops.pallas_replay import make_replay_ddc
-        freqs = tuple(int(f) for f in rx.freq)
+        freqs = pad_rx_freqs(rx.freq, int(rx.rate))
         cfg = DirectDDCConfig(
             rate=int(rx.rate), decim=int(rx.decim),
             pf_average=int(rx.pf_average), freqs=freqs,

@@ -760,10 +760,37 @@ class TonesDirectFoldKernel:
           crots.re, crots.im, qrots.re, qrots.im)
         return C(y_re, y_im)
 
-    def multi_step(self, state, K: int):
-        """Demodulate K consecutive blocks in ONE kernel invocation."""
+    def startup_correction(self, state, y, transposed: bool = False):
+        """Restore the zero-history startup transient on the stream's
+        first block (prev_valid = 0): remove the missing taps'
+        contribution from the first f-1 output rows.  `y` is (rows, Cp),
+        or (Cp, rows) when `transposed` (the channel-major kernel)."""
         f, W = self.cfg.f, self.rate
         sph0, dph0, pv = state
+        if f <= 1:
+            return y
+        two_pi_w = jnp.float32(2.0 * np.pi / W)
+        srot0 = cplx.expi(sph0.astype(jnp.float32) * two_pi_w)
+        drot0 = cplx.expi_neg(dph0.astype(jnp.float32) * two_pi_w)
+        h = cplx.mul(self._P[:f - 1],
+                     C(srot0.re[None, :], srot0.im[None, :]))
+        G2p = self._G2p
+        cr = (jnp.einsum("rt,rtc->rc", h.re, G2p.re) -
+              jnp.einsum("rt,rtc->rc", h.im, G2p.im))
+        ci = (jnp.einsum("rt,rtc->rc", h.re, G2p.im) +
+              jnp.einsum("rt,rtc->rc", h.im, G2p.re))
+        corr = cplx.mul(cplx.mul(C(cr, ci), self._ramp[:f - 1]),
+                        C(drot0.re[None, :], drot0.im[None, :]))
+        g = jnp.float32(1.0) - pv
+        if transposed:
+            return C(y.re.at[:, :f - 1].add(-g * corr.re.T),
+                     y.im.at[:, :f - 1].add(-g * corr.im.T))
+        return C(y.re.at[:f - 1].add(-g * corr.re),
+                 y.im.at[:f - 1].add(-g * corr.im))
+
+    def multi_step(self, state, K: int):
+        """Demodulate K consecutive blocks in ONE kernel invocation."""
+        state0 = state
         if self.time_shards == 1:
             state, crots, qrots = self.block_rotations_factored(state, K)
             if self.rotg:
@@ -775,28 +802,185 @@ class TonesDirectFoldKernel:
             state, srots, drots = self.block_rotations(state, K)
             y = self.invoke(self._P, self._G2, self._ramp, srots, drots,
                             K, self.interpret)
-        if f > 1:
-            # restore the zero-history startup transient on the stream's
-            # first block (pv = 0): remove the missing taps' contribution
-            # from the first f-1 rows — y rows already carry ramp + DDC
-            # rotation, so the correction does too
-            two_pi_w = jnp.float32(2.0 * np.pi / W)
-            srot0 = cplx.expi(sph0.astype(jnp.float32) * two_pi_w)
-            drot0 = cplx.expi_neg(dph0.astype(jnp.float32) * two_pi_w)
-            h = cplx.mul(self._P[:f - 1],
-                         C(srot0.re[None, :], srot0.im[None, :]))
-            G2p = self._G2p
-            cr = (jnp.einsum("rt,rtc->rc", h.re, G2p.re) -
-                  jnp.einsum("rt,rtc->rc", h.im, G2p.im))
-            ci = (jnp.einsum("rt,rtc->rc", h.re, G2p.im) +
-                  jnp.einsum("rt,rtc->rc", h.im, G2p.re))
-            corr = cplx.mul(cplx.mul(C(cr, ci), self._ramp[:f - 1]),
-                            C(drot0.re[None, :], drot0.im[None, :]))
-            g = jnp.float32(1.0) - pv
-            y = C(y.re.at[:f - 1].add(-g * corr.re),
-                  y.im.at[:f - 1].add(-g * corr.im))
+        # y rows already carry ramp + DDC rotation, so the startup
+        # correction does too
+        y = self.startup_correction(state0, y)
         return state, y
 
     def step(self, state):
         state, y = self.multi_step(state, 1)
         return state, y
+
+
+# ----------------------------------------------------------------------
+# Transposed (channel-major) factored fold kernel
+# ----------------------------------------------------------------------
+
+def _fold_t_kernel(R: int, *refs):
+    """One (C', R) CHANNEL-MAJOR output tile of the factored fold chain.
+
+    y^T = (diag(crot) G2)^T @ P1^T: the dense lane axis is the TIME rows
+    (R a multiple of 128), so the output write streams at the dense-lane
+    wall (429 GB/s measured) instead of the sub-128 masked-write cap the
+    row-major kernel pays at C' < 128 — and with no padding, the write
+    is 8 B/sample instead of the padded 10.24 (tools/perf_c3_ladder.py).
+    The rotation lands on the (C', C_t) G2^T constant as a LANE-broadcast
+    row (no transpose needed); P1^T rides as host-presplit bf16
+    constants; the output-side rotation column comes from one masked
+    lane-reduce against the identity (the _fold_rotg_kernel trick).
+    """
+    (g2tr_ref, g2ti_ref, eye_ref,
+     p1trh_ref, p1trl_ref, p1tih_ref, p1til_ref,
+     p1tsh_ref, p1tsl_ref, rtr_ref, rti_ref,
+     cr_ref, ci_ref, qdr_ref, qdi_ref,
+     yr_ref, yi_ref) = refs
+    cr_row, ci_row = cr_ref[0:1], ci_ref[0:1]          # (1, C_t)
+    g2r, g2i = g2tr_ref[:], g2ti_ref[:]                # (C', C_t)
+    gr = g2r * cr_row - g2i * ci_row
+    gi = g2r * ci_row + g2i * cr_row
+    grh, grl = _hilo(gr)
+    gih, gil = _hilo(gi)
+    gsh, gsl = _hilo(gr + gi)
+    rr = _psdot(grh, grl, p1trh_ref[:], p1trl_ref[:])  # (C', R)
+    ii = _psdot(gih, gil, p1tih_ref[:], p1til_ref[:])
+    ri = _psdot(gsh, gsl, p1tsh_ref[:], p1tsl_ref[:])
+    acc_r, acc_i = rr - ii, ri - rr - ii
+    ramp_r, ramp_i = rtr_ref[:], rti_ref[:]            # (C', R)
+    t_r = acc_r * ramp_r - acc_i * ramp_i
+    t_i = acc_r * ramp_i + acc_i * ramp_r
+    qr_row, qi_row = qdr_ref[0:1], qdi_ref[0:1]        # (1, C')
+    eye = eye_ref[:]                                   # (C', C')
+    qc_r = jnp.sum(qr_row * eye, axis=1, keepdims=True)  # (C', 1)
+    qc_i = jnp.sum(qi_row * eye, axis=1, keepdims=True)
+    yr_ref[:] = t_r * qc_r - t_i * qc_i
+    yi_ref[:] = t_r * qc_i + t_i * qc_r
+
+
+def _pick_rows_t(nb: int, Ct: int, Cp: int) -> int:
+    """Largest divisor of nb that is a multiple of 128 (the output LANE
+    tile) within the VMEM budget (P1^T splits + ramp + double-buffered
+    output per R column-block)."""
+    Ctp = -(-Ct // 128) * 128
+    Cpp = -(-Cp // 128) * 128
+    bytes_per_col = 6 * Ctp * 2 + 2 * Cpp * 4 + 4 * Cpp * 4
+    cap = (10 * 2 ** 20) // max(bytes_per_col, 1)
+    best = 0
+    for d in range(128, min(nb, cap) + 1, 128):
+        if nb % d == 0:
+            best = d
+    return best
+
+
+@dataclasses.dataclass
+class TonesDirectFoldT:
+    """Channel-major factored fold chain: emits y as (C', K*nb).
+
+    Composes a row-major TonesDirectFoldKernel for all host-side math
+    (P/G2/rotations/startup) and runs the transposed kernel, whose output
+    lane axis is the dense time-row axis — the probe for (and, if wired,
+    the production form of) the dense-write ceiling at C' < 128.
+    Requires nb % 128 == 0 (e.g. block_len = 4_096_000 at M = 100), i.e.
+    the block planner must pick lane-commensurate blocks.
+    """
+
+    path_name = "fold_kernel_t"
+
+    rate: int
+    tx_freqs: Tuple[int, ...]
+    tx_ampls: Tuple[float, ...]
+    cfg: DirectDDCConfig
+    block_len: int
+    scale: float = 1.0
+    interpret: bool | None = None
+    rows: int | None = None
+
+    def __post_init__(self):
+        L, M = self.block_len, self.cfg.M
+        self.ok = self.cfg.decim > 0 and L % M == 0
+        if not self.ok:
+            return
+        nb = L // M
+        Ct, Cp = len(self.tx_freqs), self.cfg.n_channels
+        R = self.rows if self.rows is not None else \
+            _pick_rows_t(nb, Ct, Cp)
+        self.ok = bool(R) and R % 128 == 0 and nb % R == 0
+        if not self.ok:
+            return
+        base = TonesDirectFoldKernel(
+            rate=self.rate, tx_freqs=self.tx_freqs,
+            tx_ampls=self.tx_ampls, cfg=self.cfg,
+            block_len=L, scale=self.scale, rows=R)
+        self.ok = base.ok
+        if not self.ok:
+            return
+        self.base = base
+        self.nb, self.Ct, self.Cp, self.R = nb, Ct, Cp, R
+        self.self_ramp = base.self_ramp
+        p1t_re = np.asarray(base._P1.re).T.copy()      # (Ct, R)
+        p1t_im = np.asarray(base._P1.im).T.copy()
+        self._P1Ts = tuple(jnp.asarray(a) for pair in
+                           (_np_hilo(p1t_re), _np_hilo(p1t_im),
+                            _np_hilo(p1t_re + p1t_im)) for a in pair)
+        self._G2T = (jnp.asarray(np.asarray(base._G2f[0]).T.copy()),
+                     jnp.asarray(np.asarray(base._G2f[1]).T.copy()))
+        self._eye = jnp.eye(Cp, dtype=jnp.float32)
+        if self.self_ramp:
+            # ramp = conj(P1)^T; Cp == Ct here
+            self._rampT = (jnp.asarray(p1t_re), jnp.asarray(-p1t_im))
+        else:
+            self._rampT = (
+                jnp.asarray(np.asarray(base._ramp1.re).T.copy()),
+                jnp.asarray(np.asarray(base._ramp1.im).T.copy()))
+
+    def init_state(self):
+        return self.base.init_state()
+
+    def invoke_t(self, crots, qrots, interpret: bool | None = None):
+        import jax.experimental.pallas as pl
+        R, Ct, Cp = self.R, self.Ct, self.Cp
+        n_tiles = crots.re.shape[0] // 8
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        kernel = functools.partial(_fold_t_kernel, R)
+        out_shape = (jax.ShapeDtypeStruct((Cp, n_tiles * R), jnp.float32),
+                     jax.ShapeDtypeStruct((Cp, n_tiles * R), jnp.float32))
+        const = lambda r: (0, 0)
+        per_tile = lambda r: (r, 0)
+        p1t_spec = pl.BlockSpec((Ct, R), const)
+        y_re, y_im = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((Cp, Ct), const),           # G2T re
+                pl.BlockSpec((Cp, Ct), const),           # G2T im
+                pl.BlockSpec((Cp, Cp), const),           # eye
+                p1t_spec, p1t_spec,                      # P1T re hi/lo
+                p1t_spec, p1t_spec,                      # P1T im hi/lo
+                p1t_spec, p1t_spec,                      # P1T sum hi/lo
+                pl.BlockSpec((Cp, R), const),            # rampT re
+                pl.BlockSpec((Cp, R), const),            # rampT im
+                pl.BlockSpec((8, Ct), per_tile),         # crot re
+                pl.BlockSpec((8, Ct), per_tile),         # crot im
+                pl.BlockSpec((8, Cp), per_tile),         # qrot re
+                pl.BlockSpec((8, Cp), per_tile),         # qrot im
+            ],
+            out_specs=(
+                pl.BlockSpec((Cp, R), lambda r: (0, r)),
+                pl.BlockSpec((Cp, R), lambda r: (0, r)),
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*self._G2T, self._eye, *self._P1Ts, *self._rampT,
+          crots.re, crots.im, qrots.re, qrots.im)
+        return C(y_re, y_im)
+
+    def multi_step(self, state, K: int):
+        """K blocks in one kernel; returns (state', y (Cp, K*nb))."""
+        state0 = state
+        state, crots, qrots = self.base.block_rotations_factored(state, K)
+        y = self.invoke_t(crots, qrots, self.interpret)
+        y = self.base.startup_correction(state0, y, transposed=True)
+        return state, y
+
+    def step(self, state):
+        return self.multi_step(state, 1)

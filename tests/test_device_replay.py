@@ -140,3 +140,37 @@ def test_budget_gate(monkeypatch):
         def __init__(self):
             pass
     assert not replay_mod.can_device_replay(NoData())
+
+
+def test_device_replay_lane_padded_matches_unpadded(monkeypatch):
+    """config.pad_lanes on the row-major replay kernel: a 9..127-channel
+    recording is demodulated at 128 padded channels (dense writes, +36%
+    measured on chip — tools/perf_replay_pad.py) and the host-side slice
+    in run_chunked restores the logical channels exactly."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu import golden
+    from gpu_sdr_tpu.engine.replay import pad_rx_freqs
+    rate = 1_000_000
+    freqs = [int(f) for f in np.linspace(-400_000, 400_000, 10)]
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=20_000,
+                       samples=100_000, decim=10, pf_average=4,
+                       freq=freqs, wave_type=[WaveType.DIRECT] * 10)
+    rec = _rec(50_000)                 # looped: matches the 50k plan block
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "0")
+    assert len(pad_rx_freqs(freqs, rate)) == 10
+    dr0 = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr0.path == "replay_kernel", dr0.path
+    s0 = MemorySink()
+    dr0.run([s0])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "1")
+    assert len(pad_rx_freqs(freqs, rate)) == 128
+    dr1 = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr1.path == "replay_kernel", dr1.path
+    s1 = MemorySink()
+    dr1.run([s1])
+
+    assert s1.data.shape == s0.data.shape
+    snr = golden.snr_db(s0.data, s1.data)
+    assert snr > 110, f"padded vs unpadded replay: {snr:.1f} dB"

@@ -267,3 +267,30 @@ def test_fold_kernel_rotg_matches_factored():
             snr = golden.snr_db(cplx.to_np(ya).ravel(),
                                 cplx.to_np(yb).ravel())
             assert snr > 95, f"rotg vs factored: {snr:.1f} dB"
+
+
+def test_fold_t_kernel_matches_row_major():
+    """The channel-major fold kernel (TonesDirectFoldT) must match the
+    row-major factored form transposed, for both ramp configurations and
+    across the state carry (incl. the transposed startup correction)."""
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectFoldT
+    rate = 1_000_000
+    tx_freqs = tuple(int(x) for x in np.linspace(-400_000, 400_000, 10))
+    for rx_freqs in (tx_freqs, tuple(f + 1000 for f in tx_freqs)):
+        cfg = DirectDDCConfig(rate=rate, decim=10, pf_average=4,
+                              freqs=rx_freqs, phases=(0,) * 10)
+        kw = dict(rate=rate, tx_freqs=tx_freqs, tx_ampls=(0.1,) * 10,
+                  cfg=cfg, block_len=25_600, interpret=True)
+        a = TonesDirectFoldKernel(**kw)
+        b = TonesDirectFoldT(**kw)
+        assert a.ok and b.ok
+        assert b.R % 128 == 0 and b.self_ramp == a.self_ramp
+        sa, sb = a.init_state(), b.init_state()
+        for _ in range(2):
+            sa, ya = a.multi_step(sa, 3)
+            sb, yb = b.multi_step(sb, 3)
+            ra = cplx.to_np(ya)
+            rb = cplx.to_np(yb).T
+            assert ra.shape == rb.shape
+            snr = golden.snr_db(ra.ravel(), rb.ravel())
+            assert snr > 95, f"fold-T vs row-major: {snr:.1f} dB"

@@ -380,3 +380,40 @@ def test_single_fetch_lockin_matches_aliased_onchip():
                                       np.asarray(yb.re))
         assert np.abs(np.asarray(yb.im)).max() == 0.0
         assert np.abs(np.asarray(ya.im)).max() < 1e-6
+
+
+def test_fold_t_kernel_matches_golden_onchip():
+    """ops/pallas_chain.TonesDirectFoldT (channel-major factored fold:
+    dense time-row lanes — the round-5 config-3 probe form) vs the
+    float64 comb+demod oracle, compiled by Mosaic."""
+    import jax
+    from gpu_sdr_tpu.ops import cplx
+    from gpu_sdr_tpu.ops.ddc import DirectDDCConfig
+    from gpu_sdr_tpu.ops.pallas_chain import TonesDirectFoldT
+
+    rate, M, f = 1_000_000, 10, 4
+    L = 25_600                        # nb = 2560 = 20 x 128
+    tx_freqs = tuple(int(x) for x in np.linspace(-300_000, 300_000, 20))
+    ampls = tuple(0.05 + 0.01 * (i % 5) for i in range(20))
+    for rx_freqs, label in ((tx_freqs, "self_ramp"),
+                            (tx_freqs[:10], "ramp_streamed")):
+        dcfg = DirectDDCConfig(rate=rate, decim=M, pf_average=f,
+                               freqs=rx_freqs,
+                               phases=(0,) * len(rx_freqs))
+        chain = TonesDirectFoldT(rate=rate, tx_freqs=tx_freqs,
+                                 tx_ampls=ampls, cfg=dcfg,
+                                 block_len=L, interpret=False)
+        assert chain.ok
+        assert chain.R % 128 == 0
+        n_blocks = 3
+        state = chain.init_state()
+        state, y = jax.jit(
+            lambda st: chain.multi_step(st, n_blocks))(state)
+        got = cplx.to_np(y)           # channel-major (Cp, rows)
+
+        x = golden.tone_block(tx_freqs, ampls, rate, 0, n_blocks * L)
+        gold = golden.GoldenDirectDemodulator(list(rx_freqs), rate, M, f)
+        ref = np.concatenate(
+            [gold(x[i * L:(i + 1) * L]) for i in range(n_blocks)], axis=1)
+        snr = golden.snr_db(ref, got)
+        assert snr > 85, f"{label} fold-T kernel vs oracle: {snr:.1f} dB"

@@ -139,8 +139,12 @@ def main():
     def c2_raw(st):
         return ch2.multi_step(st, 32)
 
+    # NOTE: this raw stage reads ~half the API chain — the API's jit
+    # donates the chain state, aliasing the 800 MB wavetable through
+    # each execution; this undonated form copies it per call.  The API
+    # row is the production number (engine/fused.py donate_argnums).
     msps = time_steps(c2_raw, ch2.init_state(), 32 * 4_000_000)
-    out(config=2, stage="raw_chain", msps=round(msps, 1),
+    out(config=2, stage="raw_chain_undonated", msps=round(msps, 1),
         gbps_at_8=round(msps * 8 / 1e3, 1))
     msps, _, _ = time_chain(tx2, rx2, K=32)
     out(config=2, stage="api_chain", msps=round(msps, 1),
@@ -163,15 +167,17 @@ def main():
         return ch3.multi_step(st, 64)
 
     msps = time_steps(c3_raw, ch3.init_state(), 64 * 4_000_000)
-    # bytes: P presplit (8 B/sample) + output (8 B/sample); flops: 3
-    # bf16 passes x 2 x Ct x Cp MACs per nb-row / M samples
+    # bytes: the lane-padded factored fold streams ONLY its output —
+    # nb * 128 * 8 / L = 10.24 B/sample physical (128 lanes incl. the
+    # zero-amplitude padding, round 5); flops: 3 bf16 passes of
+    # (R,128)x(128,128) per R rows = 6*128*128 / M = 983 flops/sample
     out(config=3, stage="raw_chain", msps=round(msps, 1),
-        gbps_at_16=round(msps * 16 / 1e3, 1),
-        tflops_bf16=round(msps * 1e6 * 1200 / 1e12, 1))
+        gbps_at_10p24=round(msps * 10.24 / 1e3, 1),
+        tflops_bf16=round(msps * 1e6 * 983 / 1e12, 1))
     msps, _, _ = time_chain(tx3, rx3, K=64)
     out(config=3, stage="api_chain", msps=round(msps, 1),
-        gbps_at_16=round(msps * 16 / 1e3, 1),
-        tflops_bf16=round(msps * 1e6 * 1200 / 1e12, 1))
+        gbps_at_10p24=round(msps * 10.24 / 1e3, 1),
+        tflops_bf16=round(msps * 1e6 * 983 / 1e12, 1))
 
     # ---- config 4: full-spectrum channelizer (6M blocks) --------------
     from gpu_sdr_tpu.ops.cplx import C, DFT

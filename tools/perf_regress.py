@@ -46,6 +46,9 @@ BANDS = {
     "replay_ddct_c8": 102.6,
     "replay_chirp_table": 33.7,
     "replay_pfb_at": 19.1,
+    # recorded from tools/perf_replay_pad.py (12,935 Msps padded) against
+    # the same-day 444 GB/s anchor; confirmed by the next all-green run
+    "replay_rowmajor_c100": 29.1,
 }
 # dual/single split ratio (dimensionless, gated directly)
 SPLIT_BAND = 0.438
@@ -272,6 +275,16 @@ def main():
     drp = DeviceReplay(rxrp, recc, blocks_per_exec=16, loop=True)
     assert drp.path == "pfb_at", drp.path
     gate("replay_pfb_at", time_replay(drp))
+
+    # row-major (lane-padded) DIRECT replay at C=100 — the padding
+    # measured +36% (tools/perf_replay_pad.py, round 5)
+    rxr100 = AntennaParams(mode=AntMode.RX, rate=rate,
+                           buffer_len=4_000_000, samples=1_024_000_000,
+                           decim=100, pf_average=4, freq=freqs100,
+                           wave_type=[WaveType.DIRECT] * 100)
+    dr100 = DeviceReplay(rxr100, recc, blocks_per_exec=16, loop=True)
+    assert dr100.path == "replay_kernel", dr100.path
+    gate("replay_rowmajor_c100", time_replay(dr100))
 
     if record:
         print(json.dumps({"record_ratios":
