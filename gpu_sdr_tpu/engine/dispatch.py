@@ -188,11 +188,16 @@ def classify_device_replay(rx, n: int, loop: bool):
         if kind:
             return kind, "looped DIRECT recording, tileable"
 
-    # pfb/chirp gates shared with the DeviceReplay builders
-    # (engine/replay.plan_pfb_replay / plan_chirp_replay): one plan
-    # function on the replay side, called from both __post_init__ and
-    # this mirror, so the table cannot drift (ADVICE r4)
-    from .replay import plan_chirp_replay, plan_pfb_replay
+    # channelizer/pfb/chirp gates shared with the DeviceReplay builders
+    # (engine/replay.plan_channelizer_replay / plan_pfb_replay /
+    # plan_chirp_replay): one plan function on the replay side, called
+    # from both __post_init__ and this mirror, so the table cannot
+    # drift (ADVICE r4)
+    from .replay import (plan_channelizer_replay, plan_chirp_replay,
+                         plan_pfb_replay)
+    if plan_channelizer_replay(rx, n, L, loop):
+        return "channelizer_at", ("fused channelizer over the resident "
+                                  "recording (no presum round trip)")
     if plan_pfb_replay(rx, n, L, loop):
         return "pfb_at", "in-place PFB pre-sum over the recording"
 

@@ -60,6 +60,40 @@ def pad_rx_freqs(freqs, rate: int):
     return tuple(int(f) for f in freqs) + tuple(dummies)
 
 
+def plan_channelizer_replay(rx, n: int, L: int, loop: bool) -> bool:
+    """Pure shape-math gate of DeviceReplay._try_channelizer_replay
+    (round 5): TONES/NOISE replay through the FUSED channelizer kernel
+    reading the transposed resident recording in place — no presum
+    round trip.  Shared with engine/dispatch.classify_device_replay."""
+    from ..config import kernel_dot_precision, use_pallas_pfb
+    from ..ops import pfb as pfb_ops
+    from ..ops.cplx import DFT
+    from ..ops.pallas_channelizer import can_channelizer_at
+    from ..params import WaveType
+    w = rx.wave_type[0] if rx.wave_type else None
+    if not (loop and n % L == 0 and
+            w in (WaveType.TONES, WaveType.NOISE) and
+            int(rx.fft_tones) > 0 and use_pallas_pfb() and
+            kernel_dot_precision() == "tf32"):
+        return False
+    nfft = int(rx.fft_tones)
+    decim = int(rx.decim)
+    if decim > 0 and (L // nfft) % decim != 0:
+        return False
+    full_spectrum = w == WaveType.NOISE
+    try:
+        bins = None if full_spectrum else tuple(
+            int(b) for b in pfb_ops.tone_bins(rx.freq, rx.rate, nfft))
+    except Exception:
+        return False
+    cfg = pfb_ops.PFBConfig(nfft=nfft, avg=int(rx.pf_average),
+                            rate=int(rx.rate), bins=bins, decim=decim)
+    dft = DFT(nfft, two_stage=True)
+    if dft.split is None:
+        return False
+    return can_channelizer_at(cfg, dft, L, n)
+
+
 def plan_pfb_replay(rx, n: int, L: int, loop: bool) -> bool:
     """Pure shape-math gate of DeviceReplay._try_pfb_replay, shared with
     engine/dispatch.classify_device_replay so the plan cannot drift from
@@ -118,6 +152,8 @@ class DeviceReplay:
         n = len(self.data)
         self._kernel_path = self._try_replay_kernel(L, n)
         if self._kernel_path is None:
+            self._kernel_path = self._try_channelizer_replay(L, n)
+        if self._kernel_path is None:
             self._kernel_path = self._try_pfb_replay(L, n)
         if self._kernel_path is None:
             self._kernel_path = self._try_chirp_replay(L, n)
@@ -127,7 +163,8 @@ class DeviceReplay:
             self.path = "scan"
         elif isinstance(self._kernel_path, tuple):
             self.path = {"pfb": "pfb_at", "chirp": "chirp_at",
-                         "chirp_table": "chirp_table"}[
+                         "chirp_table": "chirp_table",
+                         "channelizer": "channelizer_at"}[
                              self._kernel_path[0]]
         else:
             from ..ops.pallas_replay import ReplayDDCT
@@ -216,6 +253,65 @@ class DeviceReplay:
         self._Xarg = rk._X
         self._kernel_state_init = rk.init_state
         return rk
+
+    def _try_channelizer_replay(self, L, n):
+        """TONES/NOISE replay through the FUSED channelizer kernel
+        reading the TRANSPOSED resident recording in place (round 5):
+        where pfb_at pays recording read + presum write + presum read +
+        spectra write (the XLA DFT's round trip), this pays recording
+        read + spectra write — the loopback chain's kernel with the
+        wavetable broadcast replaced by scalar-prefetch block indexing
+        (ops/pallas_channelizer.channelizer_frames_at).  The recording
+        is transposed to the kernel layout once at upload."""
+        from ..ops import pfb as pfb_ops
+        from ..ops.cplx import DFT
+        from ..ops.pallas_channelizer import (channelizer_frames_at,
+                                              select_tones_t,
+                                              transpose_block)
+        from ..params import WaveType
+        rx = self.rx
+        if not plan_channelizer_replay(rx, n, L, self.loop):
+            return None
+        nfft, avg = int(rx.fft_tones), int(rx.pf_average)
+        decim = int(rx.decim)
+        full_spectrum = rx.wave_type[0] == WaveType.NOISE
+        bins = (np.arange(nfft) if full_spectrum
+                else np.asarray(pfb_ops.tone_bins(rx.freq, rx.rate,
+                                                  nfft)))
+        cfg = pfb_ops.PFBConfig(
+            nfft=nfft, avg=avg, rate=int(rx.rate),
+            bins=None if full_spectrum else tuple(int(b) for b in bins),
+            decim=decim)
+        window = cfg.window()
+        dft = DFT(nfft, two_stage=True)
+        n1, n2 = dft.split
+        T = L // nfft
+
+        buf = np.asarray(self.data, dtype=np.complex64)
+        Xt = transpose_block(cplx.from_np(buf), nfft, n1, n2)
+        self.n_rec_blocks = nblk = n // L
+        K = self.blocks_per_exec
+
+        @jax.jit
+        def multi(started, idx, Xt):
+            def body(carry, _):
+                i, st = carry
+                fr = channelizer_frames_at(cfg, window, dft, Xt, i, st,
+                                           nframes=T)
+                y = select_tones_t(fr, bins, n1, n2)
+                if decim > 0:
+                    y = pfb_ops.average_frames(y, decim)
+                nxt = i + 1
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+                return (nxt, jnp.int32(1)), y
+            (idx2, started2), ys = jax.lax.scan(
+                body, (idx, started), None, length=K)
+            return started2, idx2, ys
+
+        self._multi = multi
+        self._Xarg = Xt
+        self._kernel_state_init = lambda: jnp.int32(0)   # started flag
+        return ("channelizer", cfg)
 
     def _try_pfb_replay(self, L, n):
         """TONES/NOISE (channelizer) replay without dynamic_slice copies:

@@ -168,11 +168,23 @@ def _pick_bt(nframes: int, nfft: int) -> int:
     return best
 
 
-def _pick_bt_t(nframes: int, nfft: int) -> int:
+def _pick_bt_t(nframes: int, nfft: int, n2: int | None = None) -> int:
     """Tile height for the transposed kernel: bt rides the sublane axis,
     so it must be a multiple of 8 — or equal to the whole frame count
-    (a block that spans the full array dimension is always legal)."""
-    cap = max(1, (2500 * 1024) // (32 * max(nfft, 1)))
+    (a block that spans the full array dimension is always legal).
+
+    With `n2` (the DFT split's lane factor), the VMEM budget counts the
+    PADDED lane width — an (n1, bt, n2) tile with n2 < 128 physically
+    occupies n1*bt*128 lanes, up to 16x the logical bytes (a small-nfft
+    on-chip replay OOM'd scoped VMEM before this, round 5)."""
+    phys = max(nfft, 1)
+    if n2 is not None and n2 > 0:
+        # budget constant chosen so the production nfft=1000 (n2=125 ->
+        # phys 1024) geometry keeps its measured bt=80
+        phys = (max(nfft, 1) // n2) * (-(-n2 // 128) * 128)
+        cap = max(1, (2560 * 1024) // (32 * phys))
+    else:
+        cap = max(1, (2500 * 1024) // (32 * phys))
     best = 0
     for d in range(1, nframes + 1):
         if nframes % d == 0 and d <= cap and d % 8 == 0:
@@ -193,8 +205,9 @@ def can_fuse_channelizer(cfg: PFBConfig, dft, block_len: int) -> bool:
     if block_len % cfg.nfft != 0:
         return False
     nframes = block_len // cfg.nfft
+    n2 = dft.split[1]
     return (_pick_bt(nframes, cfg.nfft) > 0 and
-            _pick_bt_t(nframes, cfg.nfft) > 0 and cfg.avg >= 2)
+            _pick_bt_t(nframes, cfg.nfft, n2) > 0 and cfg.avg >= 2)
 
 
 def channelizer_frames(cfg: PFBConfig, window: jax.Array, dft, spare: C,
@@ -402,7 +415,7 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
     lead = avg - 1
     assert spare_t.shape == (n1, lead, n2)
     if bt is None:
-        bt = _pick_bt_t(nframes, nfft)
+        bt = _pick_bt_t(nframes, nfft, n2)
     assert bt and (bt % 8 == 0 or bt == nframes) and \
         nframes % bt == 0, (bt, nframes)
     nr = nframes // bt
@@ -484,3 +497,137 @@ def channelizer_frames_t(cfg: PFBConfig, window: jax.Array, dft,
         new_spare = C(x_t.re[:, nframes - lead:, :],
                       x_t.im[:, nframes - lead:, :])
     return new_spare, C(o_re, o_im)
+
+
+def _kernel_t_at(avg: int, bt: int, n1: int, n2: int, F1: np.ndarray,
+                 idx_ref, val_ref, ar_ref, ai_ref, lr_ref, li_ref,
+                 wr_ref, grh_ref, grl_ref, gih_ref, gil_ref,
+                 gsh_ref, gsl_ref, or_ref, oi_ref):
+    """Replay variant of _kernel_t: the raw tile and its leading halo
+    frames are read IN PLACE from the transposed resident recording via
+    scalar-prefetched block indices (no dynamic_slice copy, no presum
+    round trip).  The halo unit is the _HALO_T-frame unit preceding the
+    tile in the recording (real frames LAST — the same layout the
+    stacked-halo staging produces), wrapping at the loop seam; the
+    stream's very first tile zeroes it via val (zero history)."""
+    import jax.experimental.pallas as pl
+    pid = pl.program_id(0)
+    v = jnp.where(pid == 0, val_ref[0].astype(jnp.float32),
+                  jnp.float32(1.0))
+    lead = avg - 1
+    a_r = ar_ref[:]
+    a_i = ai_ref[:]
+    ext_r = jnp.concatenate([lr_ref[:, _HALO_T - lead:, :] * v, a_r],
+                            axis=1)
+    ext_i = jnp.concatenate([li_ref[:, _HALO_T - lead:, :] * v, a_i],
+                            axis=1)
+    w = wr_ref[:]
+    pre_r = ext_r[:, lead:, :] * w[:, lead:lead + 1, :]
+    pre_i = ext_i[:, lead:, :] * w[:, lead:lead + 1, :]
+    for i in range(lead):
+        pre_r = pre_r + ext_r[:, i:i + bt, :] * w[:, i:i + 1, :]
+        pre_i = pre_i + ext_i[:, i:i + bt, :] * w[:, i:i + 1, :]
+
+    d = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    for k1 in range(n1):
+        acc = (None, None)
+        for a in range(n1):
+            acc = _cmul_acc(acc, pre_r[a], pre_i[a],
+                            float(F1[a, k1].real), float(F1[a, k1].imag))
+        z_r, z_i = acc
+        zr_hi, zr_lo = hilo_split(z_r)
+        zi_hi, zi_lo = hilo_split(z_i)
+        zs_hi, zs_lo = hilo_split(z_r + z_i)
+        rr = (d(zr_hi, grh_ref[k1]) + d(zr_hi, grl_ref[k1]) +
+              d(zr_lo, grh_ref[k1]))
+        ii = (d(zi_hi, gih_ref[k1]) + d(zi_hi, gil_ref[k1]) +
+              d(zi_lo, gih_ref[k1]))
+        ss = (d(zs_hi, gsh_ref[k1]) + d(zs_hi, gsl_ref[k1]) +
+              d(zs_lo, gsh_ref[k1]))
+        or_ref[k1] = rr - ii
+        oi_ref[k1] = ss - rr - ii
+
+
+def can_channelizer_at(cfg: PFBConfig, dft, block_len: int,
+                       n: int) -> bool:
+    """Shape gate for channelizer_frames_at: the fused-kernel gates plus
+    recording commensurability (total frames a multiple of the halo
+    unit, blocks a multiple of the frame tile)."""
+    if not can_fuse_channelizer(cfg, dft, block_len):
+        return False
+    nfft = cfg.nfft
+    if n % nfft != 0 or n % block_len != 0:
+        return False
+    T = block_len // nfft
+    bt = _pick_bt_t(T, nfft, dft.split[1])
+    total_T = n // nfft
+    return bool(bt and bt % _HALO_T == 0 and T % bt == 0 and
+                total_T % _HALO_T == 0 and
+                0 < cfg.avg - 1 <= _HALO_T)
+
+
+def channelizer_frames_at(cfg: PFBConfig, window: jax.Array, dft,
+                          Xt_full: C, blk_idx: jax.Array,
+                          valid: jax.Array, nframes: int,
+                          bt: int | None = None,
+                          interpret: bool | None = None) -> C:
+    """Fused presum + two-stage DFT of ONE stream block read IN PLACE
+    from a transposed resident recording (round 5: collapses the
+    full-spectrum replay's presum round trip — pfb_at paid recording
+    read + presum write + presum read + spectra write where this pays
+    recording read + spectra write).
+
+    Xt_full: (n1, total_T, n2) recording (transpose_block applied to the
+    whole recording once at upload); blk_idx: int32 scalar block index;
+    valid: int32 scalar, 0 zeroes the stream-start halo.  Returns
+    frames_t (n1, nframes, n2), transposed-scrambled like
+    channelizer_frames_t (select with select_tones_t)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    nfft, avg = cfg.nfft, cfg.avg
+    n1, n2 = dft.split
+    total_T = Xt_full.shape[1]
+    if bt is None:
+        bt = _pick_bt_t(nframes, nfft, n2)
+    assert bt and bt % _HALO_T == 0 and nframes % bt == 0
+    assert total_T % _HALO_T == 0 and 0 < avg - 1 <= _HALO_T
+    nr = nframes // bt
+    nunits = total_T // _HALO_T
+    runit = bt // _HALO_T
+
+    W_t = jnp.asarray(window).reshape(avg, n1, n2).transpose(1, 0, 2)
+    g6 = stage2_consts(nfft, n1, n2)
+    F1 = stage1_scalars(n1)
+    kernel = functools.partial(_kernel_t_at, avg, bt, n1, n2, F1)
+    a_map = lambda r, i, v: (0, i[0] * nr + r, 0)
+    halo_map = lambda r, i, v: \
+        (0, ((i[0] * nr + r) * runit - 1) % nunits, 0)
+    const3 = lambda r, i, v: (0, 0, 0)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((n1, bt, n2), a_map),
+            pl.BlockSpec((n1, bt, n2), a_map),
+            pl.BlockSpec((n1, _HALO_T, n2), halo_map),
+            pl.BlockSpec((n1, _HALO_T, n2), halo_map),
+            pl.BlockSpec((n1, avg, n2), const3),
+        ] + [pl.BlockSpec((n1, n2, n2), const3)] * 6,
+        out_specs=(pl.BlockSpec((n1, bt, n2), lambda r, i, v: (0, r, 0)),
+                   pl.BlockSpec((n1, bt, n2), lambda r, i, v: (0, r, 0))),
+    )
+    o_re, o_im = pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, nframes, n2), Xt_full.re.dtype),
+            jax.ShapeDtypeStruct((n1, nframes, n2), Xt_full.re.dtype),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(blk_idx, jnp.int32).reshape(1),
+      jnp.asarray(valid, jnp.int32).reshape(1),
+      Xt_full.re, Xt_full.im, Xt_full.re, Xt_full.im, W_t, *g6)
+    return C(o_re, o_im)

@@ -174,3 +174,42 @@ def test_device_replay_lane_padded_matches_unpadded(monkeypatch):
     assert s1.data.shape == s0.data.shape
     snr = golden.snr_db(s0.data, s1.data)
     assert snr > 110, f"padded vs unpadded replay: {snr:.1f} dB"
+
+
+@pytest.mark.parametrize("wave", [WaveType.TONES, WaveType.NOISE])
+def test_channelizer_replay_matches_host_fed(monkeypatch, wave):
+    """The round-5 fused channelizer replay (channelizer_at: presum +
+    two-stage DFT reading the transposed resident recording in place)
+    must match the host-fed pipeline for selected-tone AND full-spectrum
+    replay, across blocks and the loop seam."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu import golden
+    rate, nfft = 1_000_000, 1000
+    bin_hz = rate // nfft
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=128_000,
+                       samples=256_000, fft_tones=nfft, pf_average=4,
+                       freq=[50 * bin_hz, -200 * bin_hz],
+                       wave_type=[wave] * (1 if wave == WaveType.NOISE
+                                           else 2))
+    rec = _rec(128_000)
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr.path == "channelizer_at", dr.path
+    s_k = MemorySink()
+    dr.run([s_k])
+
+    class _Loop:
+        def blocks(self, block_len, n_blocks):
+            for i in range(n_blocks):
+                s = (i * block_len) % len(rec)
+                # wrap-around copy (loop seam semantics)
+                idx = (np.arange(block_len) + s) % len(rec)
+                yield rec[idx]
+
+    demod = make_demodulator(rx)
+    s_h = MemorySink()
+    run_pipeline(demod, _Loop(), [s_h])
+
+    n = min(len(s_k.data), len(s_h.data))
+    assert n > 0
+    snr = golden.snr_db(s_h.data[:n], s_k.data[:n])
+    assert snr > 85, f"channelizer_at vs host-fed ({wave}): {snr:.1f} dB"

@@ -158,7 +158,10 @@ def test_replay_chirp_table(monkeypatch):
         expect=[("A_RX2", "device_replay", "chirp_table")])
 
 
-def test_replay_pfb_at(monkeypatch):
+def test_replay_channelizer_at(monkeypatch):
+    """A fusable TONES replay geometry rides the round-5 fused
+    channelizer kernel over the resident recording (no presum round
+    trip)."""
     monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
     nfft, bin_hz = 1000, RATE // 1000
     rec = (RNG.standard_normal(256_000) +
@@ -168,6 +171,24 @@ def test_replay_pfb_at(monkeypatch):
     cmd = UsrpParams()
     cmd.A_RX2 = _replay_rx(WaveType.TONES, fft_tones=nfft, pf_average=4,
                            samples=256_000, buffer_len=128_000,
+                           freq=[50 * bin_hz, -200 * bin_hz])
+    _assert_plan_matches(
+        cmd, source=src,
+        expect=[("A_RX2", "device_replay", "channelizer_at")])
+
+
+def test_replay_pfb_at(monkeypatch):
+    """A geometry whose channelizer tiling fails (nfft=500 at this
+    block) falls back to the in-place presum + XLA DFT path."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    nfft, bin_hz = 500, RATE // 500
+    rec = (RNG.standard_normal(200_000) +
+           1j * RNG.standard_normal(200_000)).astype(np.complex64)
+    src = ArraySource(rec)
+    src.loop = True
+    cmd = UsrpParams()
+    cmd.A_RX2 = _replay_rx(WaveType.TONES, fft_tones=nfft, pf_average=4,
+                           samples=200_000, buffer_len=100_000,
                            freq=[50 * bin_hz, -200 * bin_hz])
     _assert_plan_matches(
         cmd, source=src, expect=[("A_RX2", "device_replay", "pfb_at")])

@@ -99,6 +99,11 @@ def test_pfb_replay_matches_scan_form(monkeypatch):
     """TONES (channelizer) replay via the prefetch-index pre-sum must
     match the scan-form device replay across executions and loop wraps."""
     monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.engine.replay import DeviceReplay as _DR
+    # these tests target the presum_at kernel specifically; since round 5
+    # this geometry normally dispatches the fused channelizer_at first
+    monkeypatch.setattr(_DR, "_try_channelizer_replay",
+                        lambda self, L, n: None)
     from gpu_sdr_tpu.engine.sinks import MemorySink
     rate, nfft, avg = 1_024_000, 64, 4
     bin_hz = rate // nfft
@@ -127,6 +132,11 @@ def test_noise_replay_full_spectrum(monkeypatch):
     """NOISE (full-spectrum) replay takes the kernel path too and agrees
     with the golden PFB oracle on a looped recording's first pass."""
     monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.engine.replay import DeviceReplay as _DR
+    # these tests target the presum_at kernel specifically; since round 5
+    # this geometry normally dispatches the fused channelizer_at first
+    monkeypatch.setattr(_DR, "_try_channelizer_replay",
+                        lambda self, L, n: None)
     from gpu_sdr_tpu.engine.sinks import MemorySink
     rate, nfft, avg = 1_024_000, 64, 4
     L = 64_000

@@ -417,3 +417,32 @@ def test_fold_t_kernel_matches_golden_onchip():
             [gold(x[i * L:(i + 1) * L]) for i in range(n_blocks)], axis=1)
         snr = golden.snr_db(ref, got)
         assert snr > 85, f"{label} fold-T kernel vs oracle: {snr:.1f} dB"
+
+
+def test_channelizer_at_replay_matches_golden_onchip():
+    """ops/pallas_channelizer.channelizer_frames_at (round-5 fused
+    channelizer replay: presum + two-stage DFT reading the transposed
+    resident recording in place) vs the float64 PFB oracle, compiled by
+    Mosaic through the DeviceReplay dispatch."""
+    from gpu_sdr_tpu.engine.replay import DeviceReplay
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rng = np.random.default_rng(9)
+    rate, nfft, avg = 1_024_000, 64, 4
+    L = 64_000
+    rec = (rng.standard_normal(2 * L) + 1j * rng.standard_normal(2 * L)
+           ).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       samples=2 * L, fft_tones=nfft, pf_average=avg,
+                       wave_type=[WaveType.NOISE])
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr.path == "channelizer_at", dr.path
+    sink = MemorySink()
+    dr.run([sink])
+    out = sink.data
+    ref = golden.pfb_frames(rec.astype(np.complex128), nfft, avg)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 85, f"channelizer_at vs oracle on chip: {snr:.1f} dB"

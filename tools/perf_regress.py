@@ -45,7 +45,10 @@ BANDS = {
     "replay_ddct_c1": 62.4,
     "replay_ddct_c8": 102.6,
     "replay_chirp_table": 33.7,
-    "replay_pfb_at": 19.1,
+    # full-spectrum replay through the round-5 fused channelizer_at
+    # kernel (was pfb_at at 19.1 before the +65% fusion,
+    # tools/perf_channelizer_at.py: 13,039 Msps / ~440 anchor)
+    "replay_channelizer_at": 29.6,
     # recorded from tools/perf_replay_pad.py (12,935 Msps padded) against
     # the same-day 444 GB/s anchor; confirmed by the next all-green run
     "replay_rowmajor_c100": 29.1,
@@ -273,8 +276,8 @@ def main():
                          samples=1_024_000_000, fft_tones=1000,
                          pf_average=4, wave_type=[WaveType.NOISE])
     drp = DeviceReplay(rxrp, recc, blocks_per_exec=16, loop=True)
-    assert drp.path == "pfb_at", drp.path
-    gate("replay_pfb_at", time_replay(drp))
+    assert drp.path == "channelizer_at", drp.path
+    gate("replay_channelizer_at", time_replay(drp))
 
     # row-major (lane-padded) DIRECT replay at C=100 — the padding
     # measured +36% (tools/perf_replay_pad.py, round 5)
