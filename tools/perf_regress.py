@@ -47,8 +47,10 @@ BANDS = {
     "replay_chirp_table": 33.7,
     # full-spectrum replay through the round-5 fused channelizer_at
     # kernel (was pfb_at at 19.1 before the +65% fusion,
-    # tools/perf_channelizer_at.py: 13,039 Msps / ~440 anchor)
-    "replay_channelizer_at": 29.6,
+    # tools/perf_channelizer_at.py); ratio re-recorded from the
+    # all-green confirmation run (logs/perf_regress5c.log: 14,377 Msps
+    # at a 431.3 anchor)
+    "replay_channelizer_at": 33.3,
     # recorded from tools/perf_replay_pad.py (12,935 Msps padded) against
     # the same-day 444 GB/s anchor; confirmed by the next all-green run
     "replay_rowmajor_c100": 29.1,
