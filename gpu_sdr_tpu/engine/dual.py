@@ -56,6 +56,10 @@ def _run_lockstep(multi_all, init_states, n_exec: int, n_blocks: int,
     def drain(outs):
         for i, ys in enumerate(outs):
             data = conv(ys)[:max(0, n_blocks - pkts[i])]
+            if data.ndim == 3 and data.shape[2] > channels_per_fe[i]:
+                # lane-padded chain (config.pad_lanes): drop the dead
+                # channels host-side, like pipeline.run_chunked
+                data = data[:, :, :channels_per_fe[i]]
             for k in range(data.shape[0]):
                 d = data[k]
                 meta = PacketMeta(

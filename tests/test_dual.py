@@ -192,3 +192,44 @@ def test_dual_sharded_shared_timebase_phase_alignment(tmp_path,
     assert np.ptp(pb[4:]) < 1e-2, "B rotation is not the closed form"
     assert np.abs(np.angle(np.exp(1j * (pa[4:].mean() - pb[4:].mean())))) \
         < 1e-2, "A/B timebases differ"
+
+
+def test_dual_lane_padded_chains_sliced(monkeypatch):
+    """Lane-padded fold chains inside DualFused: the lock-step drain
+    must slice the dead channels host-side exactly like run_chunked
+    (the padded chain emits 128 channels; sinks get the logical
+    count)."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu import golden
+    rate = 1_000_000
+    freqs_a = [12_345, -67_891, 300_001]       # non-periodic -> fold
+    freqs_b = [23_456, -45_678, 210_001]
+
+    def build():
+        pairs = []
+        for fe, fs in (("A_RX2", freqs_a), ("B_RX2", freqs_b)):
+            tx = AntennaParams(mode=AntMode.TX, rate=rate,
+                               buffer_len=100_000, samples=400_000,
+                               freq=fs, ampl=[0.3] * 3,
+                               wave_type=[WaveType.TONES] * 3)
+            rx = AntennaParams(mode=AntMode.RX, rate=rate,
+                               buffer_len=100_000, samples=400_000,
+                               freq=fs, decim=100, pf_average=4,
+                               wave_type=[WaveType.DIRECT] * 3)
+            pairs.append((fe, tx, rx))
+        return DualFused(pairs, blocks_per_exec=2)
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "0")
+    d0 = build()
+    sinks0 = [MemorySink(), MemorySink()]
+    d0.run([[s] for s in sinks0])
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "1")
+    d1 = build()
+    assert all(ch._chain.out_channels == 128 for ch in d1.chains)
+    sinks1 = [MemorySink(), MemorySink()]
+    d1.run([[s] for s in sinks1])
+
+    for s0, s1 in zip(sinks0, sinks1):
+        assert s1.data.shape == s0.data.shape  # 3 channels, not 128
+        assert golden.snr_db(s0.data, s1.data) > 110
