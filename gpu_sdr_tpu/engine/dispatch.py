@@ -263,9 +263,18 @@ def plan_dispatch(params: UsrpParams, source=None, channel=None,
                 loop = bool(getattr(source, "loop", False))
                 blk = _mk(rx, mesh=mesh).plan.block_len
                 if not (loop and len(source.data) % blk != 0):
+                    from ..parallel.sharded_replay import \
+                        plan_sharded_channelizer_replay
+                    if plan_sharded_channelizer_replay(
+                            rx, len(source.data), blk, loop, mesh):
+                        sub, why = "channelizer_at", \
+                            ("fused channelizer per time shard, "
+                             "staged cross-shard halos (zero "
+                             "collectives)")
+                    else:
+                        sub, why = "scan", "recording fits HBM, mesh given"
                     decisions.append(Decision(
-                        rx_name, SHARDED_REPLAY, None,
-                        "recording fits HBM, mesh given"))
+                        rx_name, SHARDED_REPLAY, sub, why))
                     continue
             if mesh is not None and can_segmented_replay(source):
                 from .demodulator import make_demodulator as _mk

@@ -25,15 +25,19 @@ from .generator import make_generator
 from .pipeline import PipelineResult
 
 
-def _pad_tone_lists(freqs, ampls, rx_freqs, rate):
+def _pad_tone_lists(freqs, ampls, rx_freqs, rate, multiple=128):
     """Extend (tx_freqs, tx_ampls, rx_freqs) with the SAME zero-amplitude
-    dummy tones up to the next 128 multiple of the RX channel count, so
+    dummy tones up to the next `multiple` of the RX channel count, so
     the fold kernel's output tiles are lane-dense (config.pad_lanes).
     Padding both sides identically preserves the kernel's self-ramp
     identity (rx list == tx list mod rate).  Returns the padded tuples
-    and the pad count (0 = already dense)."""
+    and the pad count (0 = already dense).
+
+    `multiple` is 128 (the lane width) on a single chip; a
+    channel-sharded mesh passes 128 * Kc so every SHARD's output tile
+    is lane-dense (parallel/fused_sharded.ShardedFusedDirect)."""
     Cp = len(rx_freqs)
-    pad = (-Cp) % 128
+    pad = (-Cp) % multiple
     if pad == 0:
         return freqs, ampls, rx_freqs, 0
     used = {int(f) % rate for f in freqs} | \

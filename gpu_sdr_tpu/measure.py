@@ -251,7 +251,7 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                     trigger=trigger, **tags)
                         sinks.append(h5)
                         out_name = h5.filename
-                    _record_dispatch(rx_name, "sharded_replay")
+                    _record_dispatch(rx_name, "sharded_replay", sr.path)
                     res = sr.run(sinks, usrp_number=params.usrp_number,
                                  front_end=rx_name[0])
                     results.append(res)

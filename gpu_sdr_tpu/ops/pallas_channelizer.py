@@ -549,6 +549,148 @@ def _kernel_t_at(avg: int, bt: int, n1: int, n2: int, F1: np.ndarray,
         oi_ref[k1] = ss - rr - ii
 
 
+def _kernel_t_at_h(avg: int, bt: int, n1: int, n2: int, F1: np.ndarray,
+                   idx_ref, val_ref, ar_ref, ai_ref, lr_ref, li_ref,
+                   hsr_ref, hsi_ref, wr_ref,
+                   grh_ref, grl_ref, gih_ref, gil_ref,
+                   gsh_ref, gsl_ref, or_ref, oi_ref):
+    """_kernel_t_at with a SECOND, staged halo source for the block's
+    first tile: under a time-sharded mesh a shard's stream-preceding
+    frames live on the neighbouring shard (or, for shard 0, in the
+    previous block), so they cannot be read from the shard-local
+    recording layout.  Tiles r > 0 keep the in-recording halo unit
+    (stream-contiguous within the shard); tile r == 0 reads the
+    per-block staged halo (precomputed host-side at upload, wrap
+    included), zeroed by `val` at the stream start (zero history)."""
+    import jax.experimental.pallas as pl
+    pid = pl.program_id(0)
+    first = pid == 0
+    v = jnp.where(first, val_ref[0].astype(jnp.float32), jnp.float32(1.0))
+    lead = avg - 1
+    a_r = ar_ref[:]
+    a_i = ai_ref[:]
+    h_r = jnp.where(first, hsr_ref[:, _HALO_T - lead:, :],
+                    lr_ref[:, _HALO_T - lead:, :]) * v
+    h_i = jnp.where(first, hsi_ref[:, _HALO_T - lead:, :],
+                    li_ref[:, _HALO_T - lead:, :]) * v
+    ext_r = jnp.concatenate([h_r, a_r], axis=1)
+    ext_i = jnp.concatenate([h_i, a_i], axis=1)
+    w = wr_ref[:]
+    pre_r = ext_r[:, lead:, :] * w[:, lead:lead + 1, :]
+    pre_i = ext_i[:, lead:, :] * w[:, lead:lead + 1, :]
+    for i in range(lead):
+        pre_r = pre_r + ext_r[:, i:i + bt, :] * w[:, i:i + 1, :]
+        pre_i = pre_i + ext_i[:, i:i + bt, :] * w[:, i:i + 1, :]
+
+    d = functools.partial(jnp.dot, precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    for k1 in range(n1):
+        acc = (None, None)
+        for a in range(n1):
+            acc = _cmul_acc(acc, pre_r[a], pre_i[a],
+                            float(F1[a, k1].real), float(F1[a, k1].imag))
+        z_r, z_i = acc
+        zr_hi, zr_lo = hilo_split(z_r)
+        zi_hi, zi_lo = hilo_split(z_i)
+        zs_hi, zs_lo = hilo_split(z_r + z_i)
+        rr = (d(zr_hi, grh_ref[k1]) + d(zr_hi, grl_ref[k1]) +
+              d(zr_lo, grh_ref[k1]))
+        ii = (d(zi_hi, gih_ref[k1]) + d(zi_hi, gil_ref[k1]) +
+              d(zi_lo, gih_ref[k1]))
+        ss = (d(zs_hi, gsh_ref[k1]) + d(zs_hi, gsl_ref[k1]) +
+              d(zs_lo, gsh_ref[k1]))
+        or_ref[k1] = rr - ii
+        oi_ref[k1] = ss - rr - ii
+
+
+def can_channelizer_at_halo(cfg: PFBConfig, dft, nframes: int,
+                            total_frames: int) -> bool:
+    """Shape gate for channelizer_frames_at_halo: the fused-kernel
+    gates evaluated on the PER-SHARD geometry (nframes frames per block
+    per shard, total_frames resident frames per shard)."""
+    if getattr(dft, "split", None) is None:
+        return False
+    n1, n2 = dft.split
+    if not (2 <= n1 <= 16):
+        return False
+    bt = _pick_bt_t(nframes, cfg.nfft, n2)
+    return bool(bt and bt % _HALO_T == 0 and nframes % bt == 0 and
+                total_frames % _HALO_T == 0 and
+                0 < cfg.avg - 1 <= _HALO_T)
+
+
+def channelizer_frames_at_halo(cfg: PFBConfig, window: jax.Array, dft,
+                               Xt_loc: C, Hs_loc: C, blk_idx: jax.Array,
+                               valid: jax.Array, nframes: int,
+                               bt: int | None = None,
+                               interpret: bool | None = None) -> C:
+    """channelizer_frames_at over a SHARD-LOCAL transposed recording
+    whose stream-preceding frames (for the block's first tile) are
+    supplied as a staged per-block halo array.
+
+    Xt_loc: (n1, nblk*nframes, n2) shard-local resident recording
+    (block b's shard span at frames [b*nframes, (b+1)*nframes));
+    Hs_loc: (n1, nblk*_HALO_T, n2) staged halo units, one per block,
+    each holding the _HALO_T stream frames preceding the shard's span
+    (real frames LAST, loop wrap precomputed); blk_idx / valid: int32
+    scalars (valid 0 zeroes the stream-start halo — pass 0 only on the
+    shard owning the stream's first frame).  Returns frames_t
+    (n1, nframes, n2), transposed-scrambled (select with
+    select_tones_t)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    nfft, avg = cfg.nfft, cfg.avg
+    n1, n2 = dft.split
+    total_T = Xt_loc.shape[1]
+    if bt is None:
+        bt = _pick_bt_t(nframes, nfft, n2)
+    assert bt and bt % _HALO_T == 0 and nframes % bt == 0
+    assert total_T % _HALO_T == 0 and 0 < avg - 1 <= _HALO_T
+    nr = nframes // bt
+    nunits = total_T // _HALO_T
+    runit = bt // _HALO_T
+
+    W_t = jnp.asarray(window).reshape(avg, n1, n2).transpose(1, 0, 2)
+    g6 = stage2_consts(nfft, n1, n2)
+    F1 = stage1_scalars(n1)
+    kernel = functools.partial(_kernel_t_at_h, avg, bt, n1, n2, F1)
+    a_map = lambda r, i, v: (0, i[0] * nr + r, 0)
+    halo_map = lambda r, i, v: \
+        (0, ((i[0] * nr + r) * runit - 1) % nunits, 0)
+    staged_map = lambda r, i, v: (0, i[0], 0)
+    const3 = lambda r, i, v: (0, 0, 0)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((n1, bt, n2), a_map),
+            pl.BlockSpec((n1, bt, n2), a_map),
+            pl.BlockSpec((n1, _HALO_T, n2), halo_map),
+            pl.BlockSpec((n1, _HALO_T, n2), halo_map),
+            pl.BlockSpec((n1, _HALO_T, n2), staged_map),
+            pl.BlockSpec((n1, _HALO_T, n2), staged_map),
+            pl.BlockSpec((n1, avg, n2), const3),
+        ] + [pl.BlockSpec((n1, n2, n2), const3)] * 6,
+        out_specs=(pl.BlockSpec((n1, bt, n2), lambda r, i, v: (0, r, 0)),
+                   pl.BlockSpec((n1, bt, n2), lambda r, i, v: (0, r, 0))),
+    )
+    o_re, o_im = pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=(
+            jax.ShapeDtypeStruct((n1, nframes, n2), Xt_loc.re.dtype),
+            jax.ShapeDtypeStruct((n1, nframes, n2), Xt_loc.re.dtype),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(blk_idx, jnp.int32).reshape(1),
+      jnp.asarray(valid, jnp.int32).reshape(1),
+      Xt_loc.re, Xt_loc.im, Xt_loc.re, Xt_loc.im,
+      Hs_loc.re, Hs_loc.im, W_t, *g6)
+    return C(o_re, o_im)
+
+
 def can_channelizer_at(cfg: PFBConfig, dft, block_len: int,
                        n: int) -> bool:
     """Shape gate for channelizer_frames_at: the fused-kernel gates plus

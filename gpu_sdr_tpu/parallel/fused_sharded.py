@@ -410,18 +410,40 @@ class ShardedFusedDirect:
         # over 'time', G2 columns over 'channels', zero collectives);
         # fall back to the G-fused chain when it doesn't tile
         self.fold = None
+        self.n_pad = 0
         if self.use_fold:
-            fold = TonesDirectFoldKernel(
-                rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls,
-                cfg=dcfg, block_len=L, time_shards=self.T)
-            if fold.ok and fold.Cp % self.Kc == 0:
-                if self.Kc > 1:
-                    # the self-ramp shortcut reads the ramp off the P
-                    # tile, whose columns are the FULL tx set while the
-                    # output tile carries only the channel shard's
-                    # columns — stream the sharded ramp instead
-                    fold.self_ramp = False
-                self.fold = fold
+            from ..config import pad_lanes
+            from ..engine.fused import _pad_tone_lists
+            # lane-pad the channel axis to 128 lanes PER SHARD (multiple
+            # 128*Kc): a channel-sharded output tile below 128 lanes is
+            # a lane-MASKED HBM write on EVERY shard (~212 vs 429 GB/s
+            # dense, tools/perf_c3_ladder.py) — the same cap the
+            # single-chip fold chain shed in round 5 (engine/fused.py);
+            # dead channels are sliced off host-side after the fetch
+            cands = [(freqs, ampls, rx_freqs, 0)]
+            if pad_lanes():
+                cands.insert(0, _pad_tone_lists(
+                    freqs, ampls, rx_freqs, int(tx.rate),
+                    multiple=128 * self.Kc))
+            for kf, ka, kr, n_pad in cands:
+                kcfg = dcfg if not n_pad else DirectDDCConfig(
+                    rate=int(rx.rate), decim=int(rx.decim),
+                    pf_average=int(rx.pf_average), freqs=kr,
+                    phases=(0,) * len(kr))
+                fold = TonesDirectFoldKernel(
+                    rate=int(tx.rate), tx_freqs=kf, tx_ampls=ka,
+                    cfg=kcfg, block_len=L, time_shards=self.T)
+                if fold.ok and fold.Cp % self.Kc == 0:
+                    if self.Kc > 1:
+                        # the self-ramp shortcut reads the ramp off the P
+                        # tile, whose columns are the FULL tx set while
+                        # the output tile carries only the channel
+                        # shard's columns — stream the sharded ramp
+                        # instead
+                        fold.self_ramp = False
+                    self.fold = fold
+                    self.n_pad = n_pad
+                    break
         self.chain = self.fold if self.fold is not None else \
             TonesDirectChain(
                 rate=int(tx.rate), tx_freqs=freqs, tx_ampls=ampls,
@@ -431,7 +453,11 @@ class ShardedFusedDirect:
                    self.chain.nb % self.T == 0)
         if not self.ok:
             return
-        self.n_tones = self.chain.Cp             # run() metadata
+        # run() metadata: the REAL channel count — a lane-padded fold
+        # emits chain.Cp > n_tones and run_chunked / the dual drain
+        # slice the dead lanes host-side after the fetch
+        self.n_tones = len(rx_freqs)
+        self.out_channels = self.chain.Cp
         self.ft = self.chain.nb // self.T        # output rows per shard
         if self.fold is not None:
             self._build_fold()

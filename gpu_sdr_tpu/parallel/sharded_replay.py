@@ -32,6 +32,51 @@ from ..engine.pipeline import PipelineResult
 from .fused_sharded import _to_np_global
 
 
+def plan_sharded_channelizer_replay(rx, n: int, L: int, loop: bool,
+                                    mesh: Mesh) -> bool:
+    """Pure shape-math gate of
+    ShardedDeviceReplay._try_channelizer_replay (round 5): TONES/NOISE
+    replay through the fused channelizer kernel on each time shard's
+    local span of the resident recording, with the cross-shard halo
+    frames STAGED at upload (the recording is static, so the frames a
+    shard would otherwise ppermute for are precomputed host-side) —
+    zero collectives, no per-shard presum round trip.  Shared with
+    engine/dispatch so the plan cannot drift from the builder."""
+    from ..config import kernel_dot_precision, use_pallas_pfb
+    from ..ops import pfb as pfb_ops
+    from ..ops.cplx import DFT
+    from ..ops.pallas_channelizer import can_channelizer_at_halo
+    from ..params import WaveType
+    w = rx.wave_type[0] if rx.wave_type else None
+    if not (loop and n % L == 0 and
+            w in (WaveType.TONES, WaveType.NOISE) and
+            int(rx.fft_tones) > 0 and use_pallas_pfb() and
+            kernel_dot_precision() == "tf32"):
+        return False
+    if mesh.shape.get("channels", 1) != 1:
+        return False                 # channel axis stays device-local
+    T = mesh.shape.get("time", 1)
+    nfft = int(rx.fft_tones)
+    decim = int(rx.decim)
+    if L % (T * nfft) != 0:
+        return False
+    ftl = L // (T * nfft)            # frames per shard per block
+    if decim > 0 and ftl % decim != 0:
+        return False
+    try:
+        bins = (None if w == WaveType.NOISE else tuple(
+            int(b) for b in pfb_ops.tone_bins(rx.freq, rx.rate, nfft)))
+    except Exception:
+        return False
+    cfg = pfb_ops.PFBConfig(nfft=nfft, avg=int(rx.pf_average),
+                            rate=int(rx.rate), bins=bins, decim=decim)
+    dft = DFT(nfft, two_stage=True)
+    if dft.split is None:
+        return False
+    nblk = n // L
+    return can_channelizer_at_halo(cfg, dft, ftl, nblk * ftl)
+
+
 @dataclasses.dataclass
 class ShardedDeviceReplay:
     """Compiled K-blocks-per-execution sharded demodulation of a
@@ -48,6 +93,11 @@ class ShardedDeviceReplay:
         self.demod = make_demodulator(self.rx, mesh=mesh)
         L = self.demod.plan.block_len
         n = len(self.data)
+        self._kernel_path = self._try_channelizer_replay(L, n)
+        self.path = ("channelizer_at" if self._kernel_path is not None
+                     else "scan")
+        if self._kernel_path is not None:
+            return
         nblk = max(1, -(-n // L))
         if self.loop:
             assert n % L == 0, \
@@ -89,6 +139,120 @@ class ShardedDeviceReplay:
 
         self._multi = multi
 
+    def _try_channelizer_replay(self, L, n):
+        """TONES/NOISE replay through the fused channelizer kernel on
+        each time shard's local span of the resident recording (round 5:
+        the sharded form of DeviceReplay._try_channelizer_replay).  The
+        per-shard presum round trip of the scan path (~16 B/sample) is
+        collapsed exactly as on the single chip — the kernel reads the
+        shard-local transposed recording in place — and the cross-shard
+        halo needs NO collectives: the recording is static, so each
+        (shard, block)'s stream-preceding frames are precomputed
+        host-side and staged once at upload
+        (ops/pallas_channelizer.channelizer_frames_at_halo)."""
+        try:  # jax >= 0.6 moved shard_map to the top level
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from ..ops import pfb as pfb_ops
+        from ..ops.cplx import DFT
+        from ..ops.pallas_channelizer import (_HALO_T,
+                                              channelizer_frames_at_halo,
+                                              select_tones_t)
+        from ..params import WaveType
+        from .fused_sharded import _cpair
+        rx, mesh = self.rx, self.mesh
+        if not plan_sharded_channelizer_replay(rx, n, L, self.loop, mesh):
+            return None
+        nfft, avg = int(rx.fft_tones), int(rx.pf_average)
+        decim = int(rx.decim)
+        T = mesh.shape.get("time", 1)
+        full_spectrum = rx.wave_type[0] == WaveType.NOISE
+        bins = (np.arange(nfft) if full_spectrum
+                else np.asarray(pfb_ops.tone_bins(rx.freq, rx.rate,
+                                                  nfft)))
+        cfg = pfb_ops.PFBConfig(
+            nfft=nfft, avg=avg, rate=int(rx.rate),
+            bins=None if full_spectrum else tuple(int(b) for b in bins),
+            decim=decim)
+        window = cfg.window()
+        dft = DFT(nfft, two_stage=True)
+        n1, n2 = dft.split
+        nblk = n // L
+        Tf = L // nfft                    # frames per block (global)
+        ftl = Tf // T                     # frames per shard per block
+
+        buf = np.asarray(self.data, dtype=np.complex64)
+        # shard-major transposed recording: shard t's blocks contiguous
+        # at [t*nblk*ftl, (t+1)*nblk*ftl) so P(None, 'time', None) lands
+        # each shard exactly its spans (block b at [b*ftl, (b+1)*ftl))
+        fr = buf.reshape(nblk, T, ftl, nfft)
+        g = fr.transpose(1, 0, 2, 3).reshape(T * nblk * ftl, n1, n2)
+        g = np.ascontiguousarray(g.transpose(1, 0, 2))
+        # staged per-(shard, block) halo units: the _HALO_T stream
+        # frames preceding the shard's span, wrap mod the recording
+        allf = buf.reshape(nblk * Tf, nfft)
+        tot = nblk * Tf
+        h = np.empty((T, nblk, _HALO_T, nfft), np.complex64)
+        for t in range(T):
+            for b in range(nblk):
+                p = b * Tf + t * ftl
+                h[t, b] = allf[np.arange(p - _HALO_T, p) % tot]
+        hg = h.reshape(T * nblk * _HALO_T, n1, n2)
+        hg = np.ascontiguousarray(hg.transpose(1, 0, 2))
+
+        time_ax = "time" if "time" in mesh.axis_names else None
+        sh = NamedSharding(mesh, P(None, time_ax, None))
+
+        def put(a):
+            ac = cplx.from_np(a)
+            return C(jax.device_put(ac.re, sh),
+                     jax.device_put(ac.im, sh))
+
+        self._X = (put(g), put(hg))
+        self.n_rec_blocks = nblk
+        K = self.blocks_per_exec
+        has_time = time_ax is not None and T > 1
+
+        def spmd(started, idx, Xt_l, Hs_l):
+            tidx = (jax.lax.axis_index("time") if has_time
+                    else jnp.int32(0))
+
+            def body(carry, _):
+                i, st = carry
+                # only the shard owning the stream's first frame has
+                # zero history at the stream start
+                val = jnp.where(tidx == 0, st, jnp.int32(1))
+                fr_t = channelizer_frames_at_halo(
+                    cfg, window, dft, Xt_l, Hs_l, i, val, nframes=ftl)
+                y = select_tones_t(fr_t, bins, n1, n2)
+                if decim > 0:
+                    y = pfb_ops.average_frames(y, decim)
+                nxt = i + 1
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+                return (nxt, jnp.int32(1)), y
+
+            (idx2, st2), ys = jax.lax.scan(
+                body, (idx, started), None, length=K)
+            return st2, idx2, ys
+
+        smapped = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(P(), P(),
+                      _cpair(None, time_ax, None),
+                      _cpair(None, time_ax, None)),
+            out_specs=(P(), P(), _cpair(None, time_ax, None)),
+            check_vma=False)
+
+        @jax.jit
+        def multi(state, idx, X):
+            Xt, Hs = X
+            return smapped(state, idx, Xt, Hs)
+
+        self._multi = multi
+        self._kernel_state_init = lambda: jnp.int32(0)  # started flag
+        return ("channelizer", cfg)
+
     def run(self, sinks=(), usrp_number: int = 0,
             front_end: str = "A") -> PipelineResult:
         """Demodulate the acquisition (rx.samples) into the sinks; on a
@@ -100,7 +264,10 @@ class ShardedDeviceReplay:
         n_exec = max(1, -(-plan.n_blocks // K))
 
         def init():
-            return (self.demod.init_state(), jnp.int32(0))
+            st = (self._kernel_state_init()
+                  if self._kernel_path is not None
+                  else self.demod.init_state())
+            return (st, jnp.int32(0))
 
         def step(carry):
             st, idx = carry

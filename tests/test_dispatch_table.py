@@ -177,6 +177,26 @@ def test_replay_channelizer_at(monkeypatch):
         expect=[("A_RX2", "device_replay", "channelizer_at")])
 
 
+def test_sharded_replay_channelizer_at(monkeypatch):
+    """Under a time-only mesh the same fusable TONES replay geometry
+    rides the SHARDED fused channelizer (per-shard kernel, staged
+    cross-shard halos) — plan and actual must agree on the sub-path."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.parallel import make_mesh
+    nfft, bin_hz = 1000, RATE // 1000
+    rec = (RNG.standard_normal(256_000) +
+           1j * RNG.standard_normal(256_000)).astype(np.complex64)
+    src = ArraySource(rec)
+    src.loop = True
+    cmd = UsrpParams()
+    cmd.A_RX2 = _replay_rx(WaveType.TONES, fft_tones=nfft, pf_average=4,
+                           samples=256_000, buffer_len=128_000,
+                           freq=[50 * bin_hz, -200 * bin_hz])
+    _assert_plan_matches(
+        cmd, source=src, mesh=make_mesh((8, 1), ("time", "channels")),
+        expect=[("A_RX2", "sharded_replay", "channelizer_at")])
+
+
 def test_replay_pfb_at(monkeypatch):
     """A geometry whose channelizer tiling fails (nfft=500 at this
     block) falls back to the in-place presum + XLA DFT path."""
@@ -278,7 +298,7 @@ def test_sharded_paths():
                                freq=[100_000, -250_000],
                                wave_type=[WaveType.DIRECT] * 2)
     _assert_plan_matches(cmd2, source=src, mesh=mesh,
-                         expect=[("A_RX2", "sharded_replay", None)])
+                         expect=[("A_RX2", "sharded_replay", "scan")])
 
 
 def test_replay_chirp_at_when_period_incommensurate(monkeypatch):

@@ -334,3 +334,48 @@ def test_run_measurement_dispatches_sharded_direct(monkeypatch, tmp_path):
     run_measurement(cmd, None, extra_sinks=[sink], mesh=_mesh(2, 2))
     assert sink.data is not None and sink.data.shape[1] == 2
     assert sink.data.shape[0] >= 16_000
+
+
+def test_sharded_fused_direct_lane_padded(monkeypatch):
+    """config.pad_lanes on a channel-sharded mesh pads the fold chain's
+    channel axis to 128 lanes PER SHARD (multiple 128*Kc) so every
+    shard's output tile writes dense; the dead channels are sliced off
+    host-side, and the result matches the unpadded chain and the
+    float64 oracle (round 5: the sharded form of the single-chip
+    lane-padding that doubled config 3)."""
+    from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedDirect
+    rate, decim, pfa = 1_000_000, 10, 4
+    freqs = (12_345, -67_891, 300_001, -111_111)
+    ampls = (0.4, 0.3, 0.2, 0.1)
+    T, Kc = 2, 2
+    L = 40_000
+    tx, rx = _direct_params(rate, freqs, ampls, decim, pfa, L)
+    mesh = _mesh(T, Kc)
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "0")
+    sf0 = ShardedFusedDirect(tx, rx, mesh, blocks_per_exec=2,
+                             block_len=L)
+    assert sf0.ok and sf0.fold is not None and sf0.n_pad == 0
+
+    monkeypatch.setenv("GPU_SDR_TPU_PAD_LANES", "1")
+    sf1 = ShardedFusedDirect(tx, rx, mesh, blocks_per_exec=2,
+                             block_len=L)
+    assert sf1.ok and sf1.fold is not None
+    assert sf1.n_pad == 252 and sf1.out_channels == 256  # 128 * Kc
+    assert sf1.n_tones == len(freqs)
+    # per-shard output tile is now a dense 128-lane write
+    assert sf1.out_channels % (128 * Kc) == 0
+
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    s0, s1 = MemorySink(), MemorySink()
+    sf0.run([s0], n_blocks=4)
+    sf1.run([s1], n_blocks=4)
+    assert s1.data.shape == s0.data.shape      # dead lanes sliced off
+    assert golden.snr_db(s0.data, s1.data) > 120
+
+    x = golden.tone_block(list(freqs), list(ampls), rate, 0, 4 * L)
+    gold = golden.GoldenDirectDemodulator(list(freqs), rate, decim, pfa)
+    ref = np.concatenate([gold(x[i * L:(i + 1) * L]) for i in range(4)],
+                         axis=1).T
+    n = min(len(ref), len(s1.data))
+    assert golden.snr_db(ref[:n], s1.data[:n]) > 95

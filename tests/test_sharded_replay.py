@@ -189,3 +189,93 @@ def test_sharded_segmented_matches_host(monkeypatch):
     assert [d.key() for d in plan] == measure_mod.LAST_DISPATCH
     # blocks_per_exec differs (8 vs 1): scan fusion shifts the last ulp
     assert _snr(sink.data, sink2.data) > 120
+
+
+@pytest.mark.parametrize("wave", [WaveType.TONES, WaveType.NOISE])
+def test_sharded_channelizer_replay_matches_host_fed(monkeypatch, wave):
+    """The round-5 SHARDED fused channelizer replay (channelizer_at per
+    time shard, cross-shard halos staged at upload, zero collectives)
+    must match the host-fed pipeline for selected-tone AND full-spectrum
+    replay, across blocks and the loop seam."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate, nfft = 1_000_000, 1000
+    bin_hz = rate // nfft
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=128_000,
+                       samples=256_000, fft_tones=nfft, pf_average=4,
+                       freq=[50 * bin_hz, -200 * bin_hz],
+                       wave_type=[wave] * (1 if wave == WaveType.NOISE
+                                           else 2))
+    rec = (RNG.standard_normal(128_000) +
+           1j * RNG.standard_normal(128_000)).astype(np.complex64)
+    mesh = make_mesh((8, 1), ("time", "channels"))
+    sr = ShardedDeviceReplay(rx, rec, mesh, blocks_per_exec=2, loop=True)
+    assert sr.path == "channelizer_at", sr.path
+    s_k = MemorySink()
+    sr.run([s_k])
+
+    class _Loop:
+        def blocks(self, block_len, n_blocks):
+            for i in range(n_blocks):
+                s = (i * block_len) % len(rec)
+                idx = (np.arange(block_len) + s) % len(rec)
+                yield rec[idx]
+
+    demod = make_demodulator(rx)
+    s_h = MemorySink()
+    run_pipeline(demod, _Loop(), [s_h])
+
+    n = min(len(s_k.data), len(s_h.data))
+    assert n > 0
+    snr = golden.snr_db(s_h.data[:n], s_k.data[:n])
+    assert snr > 85, f"sharded channelizer_at vs host-fed ({wave}): " \
+        f"{snr:.1f} dB"
+
+
+def test_sharded_channelizer_replay_decimated(monkeypatch):
+    """Frame averaging (decim) rides the sharded fused replay when it
+    divides the per-shard frame count; output matches the single-chip
+    channelizer_at path."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate, nfft = 1_000_000, 1000
+    bin_hz = rate // nfft
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=128_000,
+                       samples=512_000, fft_tones=nfft, pf_average=4,
+                       decim=4, freq=[50 * bin_hz, -200 * bin_hz],
+                       wave_type=[WaveType.TONES] * 2)
+    rec = (RNG.standard_normal(256_000) +
+           1j * RNG.standard_normal(256_000)).astype(np.complex64)
+    mesh = make_mesh((8, 1), ("time", "channels"))
+    sr = ShardedDeviceReplay(rx, rec, mesh, blocks_per_exec=2, loop=True)
+    assert sr.path == "channelizer_at", sr.path
+    s_k = MemorySink()
+    sr.run([s_k])
+
+    dr = DeviceReplay(rx, rec, blocks_per_exec=2, loop=True)
+    assert dr.path == "channelizer_at", dr.path
+    s_1 = MemorySink()
+    dr.run([s_1])
+    assert s_k.data.shape == s_1.data.shape
+    snr = golden.snr_db(s_1.data, s_k.data)
+    assert snr > 100, f"sharded vs single-chip decimated: {snr:.1f} dB"
+
+
+def test_sharded_channelizer_replay_gate_falls_back(monkeypatch):
+    """A channel-sharded mesh (Kc > 1) or a non-looped recording must
+    fall back to the generic sharded scan path."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    rate, nfft = 1_000_000, 1000
+    bin_hz = rate // nfft
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=128_000,
+                       samples=256_000, fft_tones=nfft, pf_average=4,
+                       freq=[50 * bin_hz],
+                       wave_type=[WaveType.TONES])
+    rec = (RNG.standard_normal(128_000) +
+           1j * RNG.standard_normal(128_000)).astype(np.complex64)
+    sr = ShardedDeviceReplay(rx, rec, make_mesh((4, 2),
+                                                ("time", "channels")),
+                             blocks_per_exec=2, loop=True)
+    assert sr.path == "scan", sr.path
+    sr2 = ShardedDeviceReplay(rx, rec, make_mesh((8, 1),
+                                                 ("time", "channels")),
+                              blocks_per_exec=2, loop=False)
+    assert sr2.path == "scan", sr2.path

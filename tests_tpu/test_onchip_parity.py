@@ -446,3 +446,39 @@ def test_channelizer_at_replay_matches_golden_onchip():
     n = min(len(ref), len(out) - skip)
     snr = golden.snr_db(ref[:n], out[skip:skip + n])
     assert snr > 85, f"channelizer_at vs oracle on chip: {snr:.1f} dB"
+
+
+def test_sharded_channelizer_at_replay_matches_golden_onchip():
+    """ops/pallas_channelizer.channelizer_frames_at_halo (round-5
+    SHARDED fused channelizer replay: per-shard kernel reading the
+    shard-local transposed recording with STAGED cross-shard halos) vs
+    the float64 PFB oracle, compiled by Mosaic through the
+    ShardedDeviceReplay dispatch on a 1-device mesh — the kernel's
+    staged-halo select (program_id==0) and dual halo block specs are
+    distinct from channelizer_frames_at and need their own on-chip
+    lowering proof."""
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.parallel import make_mesh
+    from gpu_sdr_tpu.parallel.sharded_replay import ShardedDeviceReplay
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rng = np.random.default_rng(13)
+    rate, nfft, avg = 1_024_000, 64, 4
+    L = 64_000
+    rec = (rng.standard_normal(2 * L) + 1j * rng.standard_normal(2 * L)
+           ).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       samples=2 * L, fft_tones=nfft, pf_average=avg,
+                       wave_type=[WaveType.NOISE])
+    mesh = make_mesh((1, 1), ("time", "channels"))
+    sr = ShardedDeviceReplay(rx, rec, mesh, blocks_per_exec=2, loop=True)
+    assert sr.path == "channelizer_at", sr.path
+    sink = MemorySink()
+    sr.run([sink])
+    out = sink.data
+    ref = golden.pfb_frames(rec.astype(np.complex128), nfft, avg)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 85, \
+        f"sharded channelizer_at vs oracle on chip: {snr:.1f} dB"
