@@ -165,6 +165,47 @@ def _fold_kernel_feasible(cfg, n_tx_tones, L, time_shards=1) -> bool:
     return bool(R) and nbt % R == 0
 
 
+def classify_sharded_fused(tx, rx, mesh):
+    """Which chain make_sharded_fused builds — mirrors the builders in
+    parallel/fused_sharded.py via the shared plan helpers (the
+    plan==actual battery pins it, tests/test_dispatch_table.py)."""
+    from ..parallel.fused_sharded import (plan_sharded_block,
+                                          plan_sharded_channelizer_loopback)
+    w = rx.wave_type[0]
+    if w == WaveType.CHIRP:
+        return "chirp_lockin", "per-shard chirp synth + lock-in, no halo"
+    L, _nb = plan_sharded_block(rx, mesh)
+    if w == WaveType.TONES:
+        if plan_sharded_channelizer_loopback(tx, rx, mesh, L):
+            return "channelizer_wavetable", (
+                "bin-quantized comb, fused channelizer kernel per time "
+                "shard, zero collectives")
+        return "pfb_scan", "presum + DFT + psum-select SPMD chain"
+    # TONES -> DIRECT: the shift-fold kernel when it tiles (lane-padded
+    # candidate first, exactly as ShardedFusedDirect tries), else the
+    # G-fused chain
+    from ..config import pad_lanes
+    from ..ops.ddc import DirectDDCConfig
+    from .fused import _pad_tone_lists
+    T = mesh.shape.get("time", 1)
+    Kc = mesh.shape.get("channels", 1)
+    freqs = tuple(int(f) for f in tx.freq)
+    ampls = tuple(float(a) for a in (tx.ampl or [1.0] * len(freqs)))
+    rx_freqs = tuple(int(f) for f in rx.freq)
+    cands = [(freqs, ampls, rx_freqs, 0)]
+    if pad_lanes():
+        cands.insert(0, _pad_tone_lists(freqs, ampls, rx_freqs,
+                                        int(tx.rate), multiple=128 * Kc))
+    for kf, _ka, kr, _n_pad in cands:
+        kcfg = DirectDDCConfig(rate=int(rx.rate), decim=int(rx.decim),
+                               pf_average=int(rx.pf_average), freqs=kr,
+                               phases=(0,) * len(kr))
+        if (_fold_kernel_feasible(kcfg, len(kf), L, time_shards=T) and
+                kcfg.n_channels % Kc == 0):
+            return "fold_kernel", "shift-fold kernel tiles per shard"
+    return "g_chain", "fold untileable: G-fused chain"
+
+
 def classify_device_replay(rx, n: int, loop: bool):
     """Which form DeviceReplay will run for an n-sample recording.
     Mirrors DeviceReplay.__post_init__'s _try_* ladder
@@ -252,9 +293,9 @@ def plan_dispatch(params: UsrpParams, source=None, channel=None,
                                                       plan_sharded_block)
                 if tx is not None and can_fuse_sharded(tx, rx, mesh) and \
                         rx.delay <= tx.delay:
+                    sub, why = classify_sharded_fused(tx, rx, mesh)
                     decisions.append(Decision(
-                        rx_name, SHARDED_FUSED, None,
-                        "fusable mode pair, sharded block plan"))
+                        rx_name, SHARDED_FUSED, sub, why))
                     continue
 
         if source is not None and channel is None and not mixed:

@@ -226,7 +226,8 @@ def _run_measurement_inner(params, filename, channel, source, extra_sinks,
                                     trigger=trigger, **tags)
                         sinks.append(h5)
                         out_name = h5.filename
-                    _record_dispatch(rx_name, "sharded_fused")
+                    _record_dispatch(rx_name, "sharded_fused",
+                                     getattr(sf, "path", None))
                     res = sf.run(sinks, usrp_number=params.usrp_number,
                                  front_end=rx_name[0], n_blocks=nb)
                     results.append(res)

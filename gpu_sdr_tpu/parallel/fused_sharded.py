@@ -59,6 +59,40 @@ def _to_np_global(ys: C) -> np.ndarray:
     return cplx.to_np(ys)
 
 
+def plan_sharded_channelizer_loopback(tx, rx, mesh, block_len: int) -> bool:
+    """Pure shape-math gate of
+    ShardedFusedLoopback._build_channelizer (round 5): a bin-quantized
+    (one-frame-periodic) comb under a TIME-ONLY mesh runs the fused
+    channelizer kernel per shard — the single-chip headline chain
+    spread over the time axis with ZERO collectives (a periodic comb's
+    halo frames are the constant frame itself, so nothing is
+    ppermuted).  Shared with engine/dispatch so the plan cannot drift
+    from the builder."""
+    from ..config import kernel_dot_precision, use_pallas_pfb
+    from ..ops.cplx import DFT
+    from ..ops.pallas_channelizer import can_fuse_channelizer
+    if not (use_pallas_pfb() and kernel_dot_precision() == "tf32"):
+        return False
+    if mesh.shape.get("channels", 1) != 1:
+        return False                   # DFT columns stay device-local
+    T = mesh.shape.get("time", 1)
+    nfft, avg = int(rx.fft_tones), int(rx.pf_average)
+    if nfft <= 0 or int(rx.decim) > 1 or tx.burst_on > 0:
+        return False
+    if block_len % (T * nfft) != 0:
+        return False
+    freqs = tuple(int(f) for f in tx.freq)
+    if not freqs or not rx.freq:
+        return False
+    period = tone_ops.comb_period(freqs, int(tx.rate))
+    if period <= 0 or nfft % period != 0:
+        return False                   # comb not one-frame-periodic
+    cfg = PFBConfig(nfft=nfft, avg=avg, rate=int(rx.rate))
+    dft = DFT(nfft, two_stage=True)
+    ftl = block_len // (T * nfft)      # frames per shard per block
+    return can_fuse_channelizer(cfg, dft, ftl * nfft)
+
+
 @dataclasses.dataclass
 class ShardedFusedLoopback:
     """Compiled sharded K-block TONES->TONES (PFB) loopback chain.
@@ -98,6 +132,7 @@ class ShardedFusedLoopback:
         bins = tone_bins(rx.freq, rate, nfft)          # global bins
         nloc = nfft // self.Kc
         self.n_tones = len(bins)
+        self._bins_np = np.asarray(bins)
         self._owners = jnp.asarray((bins // nloc).astype(np.int32))
         self._local_idx = jnp.asarray((bins % nloc).astype(np.int32))
 
@@ -127,7 +162,16 @@ class ShardedFusedLoopback:
             self._phase0 = jnp.asarray(
                 ph0.reshape(-1).astype(np.int32))      # (T*Ctx,)
             self._n_tx = len(freqs)
-        self._build()
+        # the fused channelizer kernel per shard (the single-chip
+        # headline chain, engine/fused._ChannelizerWavetableChain,
+        # sharded) when the geometry allows — else the presum+XLA-DFT
+        # SPMD chain
+        if plan_sharded_channelizer_loopback(tx, rx, mesh, L):
+            self.path = "channelizer_wavetable"
+            self._build_channelizer(freqs, ampls)
+        else:
+            self.path = "pfb_scan"
+            self._build()
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -231,7 +275,66 @@ class ShardedFusedLoopback:
                 check_vma=False))
 
     # ------------------------------------------------------------------
+    def _build_channelizer(self, freqs, ampls):
+        """Per-shard fused channelizer kernel for a bin-quantized comb
+        (round 5): each time shard runs the single-chip headline kernel
+        (ops/pallas_channelizer.channelizer_frames_t, const-frame
+        broadcast) over its ftl frames — ZERO collectives.  A
+        one-frame-periodic comb makes every halo frame the constant
+        frame itself: shard t>0's stream-preceding frames (which the
+        pfb_scan path ppermutes from shard t-1) ARE the frame, and
+        shard 0's carry equals it from the second block on.  Only the
+        stream's very first tile (shard 0, block 0) differs — zero
+        history, selected by the started flag, exactly matching the
+        pfb_scan path's zero-primed halo carry."""
+        import jax.numpy as jnp
+        from ..ops.cplx import DFT
+        from ..ops.pallas_channelizer import (channelizer_frames_t,
+                                              select_tones_t,
+                                              transpose_block)
+        mesh = self.mesh
+        time_ax = "time" if "time" in mesh.axis_names else None
+        has_time = time_ax is not None and self.T > 1
+        cfg = self.cfg
+        nfft, avg = cfg.nfft, cfg.avg
+        lead = avg - 1
+        dft = DFT(nfft, two_stage=True)
+        n1, n2 = dft.split
+        frame = tone_ops.tone_comb_wavetable_block(
+            freqs, ampls, cfg.rate, nfft)              # (nfft,) const
+        f_t = transpose_block(frame, nfft, n1, n2)     # (n1, 1, n2)
+        lead_f = C(jnp.broadcast_to(f_t.re, (n1, lead, n2)),
+                   jnp.broadcast_to(f_t.im, (n1, lead, n2)))
+        bins = self._bins_np
+        window = jnp.asarray(self.window)
+        ftl, K = self.ft, self.blocks_per_exec
+
+        def spmd(started):
+            tidx = (jax.lax.axis_index("time") if has_time
+                    else jnp.int32(0))
+
+            def body(st, _):
+                g = jnp.where(jnp.logical_and(tidx == 0, st == 0),
+                              jnp.float32(0.0), jnp.float32(1.0))
+                sp = C(lead_f.re * g, lead_f.im * g)
+                _, fr = channelizer_frames_t(cfg, window, dft, sp, f_t,
+                                             nframes=ftl)
+                y = select_tones_t(fr, bins, n1, n2)
+                return jnp.int32(1), y
+
+            st2, ys = jax.lax.scan(body, started, None, length=K)
+            return st2, ys
+
+        self._exec = jax.jit(shard_map(
+            spmd, mesh=mesh,
+            in_specs=(P(),),
+            out_specs=(P(), _cpair(None, time_ax, None)),
+            check_vma=False))
+
+    # ------------------------------------------------------------------
     def init_state(self):
+        if self.path == "channelizer_wavetable":
+            return (jnp.int32(0),)                 # started flag
         halo = cplx.zeros(self.T * self.H)
         if self._const_tx:
             return (halo,)
@@ -240,6 +343,10 @@ class ShardedFusedLoopback:
     def run_exec(self, state):
         """One compiled execution: K blocks.  Returns (state', ys) with
         ys of global shape (K, L//nfft, n_tones) sharded over time."""
+        if self.path == "channelizer_wavetable":
+            (st,) = state
+            st, ys = self._exec(st)
+            return (st,), ys
         if self._const_tx:
             (halo,) = state
             halo, ys = self._exec(halo, self._xconst, self.window, self.F,
@@ -286,6 +393,8 @@ class ShardedFusedVNA:
     mesh: Mesh
     blocks_per_exec: int = 8
     block_len: int = 1_000_000
+
+    path = "chirp_lockin"     # dispatch sub-path (plan==actual battery)
 
     def __post_init__(self):
         from ..params import chirp_steps_and_length
@@ -458,6 +567,8 @@ class ShardedFusedDirect:
         # slice the dead lanes host-side after the fetch
         self.n_tones = len(rx_freqs)
         self.out_channels = self.chain.Cp
+        # dispatch sub-path (plan==actual battery)
+        self.path = "fold_kernel" if self.fold is not None else "g_chain"
         self.ft = self.chain.nb // self.T        # output rows per shard
         if self.fold is not None:
             self._build_fold()

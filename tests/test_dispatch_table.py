@@ -286,7 +286,29 @@ def test_sharded_paths():
                               samples=400_000, freq=freqs,
                               wave_type=[WaveType.TONES] * 2, delay=1.0)
     _assert_plan_matches(cmd, mesh=mesh,
-                         expect=[("A_RX2", "sharded_fused", None)])
+                         expect=[("A_RX2", "sharded_fused", "pfb_scan")])
+
+
+def test_sharded_fused_channelizer_wavetable(monkeypatch):
+    """A bin-quantized comb on a TIME-ONLY mesh rides the per-shard
+    fused channelizer kernel (round 5) — plan and actual must agree."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.parallel import make_mesh
+    mesh = make_mesh((8, 1), ("time", "channels"))
+    nfft, bin_hz = 1000, RATE // 1000
+    freqs = [50 * bin_hz, -200 * bin_hz]
+    cmd = UsrpParams()
+    cmd.A_TXRX = AntennaParams(mode=AntMode.TX, rate=RATE,
+                               buffer_len=128_000, samples=256_000,
+                               freq=freqs, ampl=[0.5, 0.25],
+                               wave_type=[WaveType.TONES] * 2, delay=1.0)
+    cmd.A_RX2 = AntennaParams(mode=AntMode.RX, rate=RATE, fft_tones=nfft,
+                              pf_average=4, buffer_len=128_000,
+                              samples=256_000, freq=freqs,
+                              wave_type=[WaveType.TONES] * 2, delay=1.0)
+    _assert_plan_matches(
+        cmd, mesh=mesh,
+        expect=[("A_RX2", "sharded_fused", "channelizer_wavetable")])
 
     rec = (RNG.standard_normal(400_000) +
            1j * RNG.standard_normal(400_000)).astype(np.complex64)

@@ -379,3 +379,51 @@ def test_sharded_fused_direct_lane_padded(monkeypatch):
                          axis=1).T
     n = min(len(ref), len(s1.data))
     assert golden.snr_db(ref[:n], s1.data[:n]) > 95
+
+
+def test_sharded_channelizer_wavetable_matches_golden(monkeypatch):
+    """A bin-quantized comb on a TIME-ONLY mesh rides the per-shard
+    fused channelizer kernel (round 5: the single-chip headline chain
+    sharded with zero collectives — a one-frame-periodic comb's halo
+    frames ARE the constant frame); output must match the float64
+    oracle with the same zero-primed startup as the pfb_scan path."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    freqs, ampls = (3000, -7000, 15000), (0.5, 0.5, 0.5)
+    rate, nfft, avg = 64_000, 64, 4
+    T, Kc = 8, 1
+    L = T * nfft * 8
+    K, n_exec = 2, 2
+    tx, rx = _params(rate, freqs, ampls, nfft, avg)
+    sf = ShardedFusedLoopback(tx, rx, _mesh(T, Kc), blocks_per_exec=K,
+                              block_len=L)
+    assert sf.path == "channelizer_wavetable", sf.path
+    state = sf.init_state()
+    outs = []
+    for _ in range(n_exec):
+        state, ys = sf.run_exec(state)
+        y = cplx.to_np(ys)
+        outs.append(y.reshape(-1, y.shape[-1]))
+    out = np.concatenate(outs, axis=0)
+    bins = golden.tone_bins(list(freqs), rate, nfft)
+    ref = _golden_selected(freqs, ampls, rate, nfft, avg, bins,
+                           n_exec * K * L)
+    skip = avg - 1
+    n = min(len(ref), len(out) - skip)
+    snr = golden.snr_db(ref[:n], out[skip:skip + n])
+    assert snr > 90.0, f"sharded channelizer wavetable: {snr:.1f} dB"
+
+    # and it must equal the pfb_scan SPMD chain exactly (same stream
+    # semantics, startup included)
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    sf2 = ShardedFusedLoopback(tx, rx, _mesh(T, Kc), blocks_per_exec=K,
+                               block_len=L)
+    assert sf2.path == "pfb_scan", sf2.path
+    state2 = sf2.init_state()
+    outs2 = []
+    for _ in range(n_exec):
+        state2, ys2 = sf2.run_exec(state2)
+        y2 = cplx.to_np(ys2)
+        outs2.append(y2.reshape(-1, y2.shape[-1]))
+    out2 = np.concatenate(outs2, axis=0)
+    snr2 = golden.snr_db(out2, out)
+    assert snr2 > 100.0, f"kernel vs pfb_scan path: {snr2:.1f} dB"
