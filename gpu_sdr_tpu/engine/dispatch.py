@@ -170,11 +170,15 @@ def classify_sharded_fused(tx, rx, mesh):
     parallel/fused_sharded.py via the shared plan helpers (the
     plan==actual battery pins it, tests/test_dispatch_table.py)."""
     from ..parallel.fused_sharded import (plan_sharded_block,
-                                          plan_sharded_channelizer_loopback)
+                                          plan_sharded_channelizer_loopback,
+                                          plan_sharded_chirp_table)
     w = rx.wave_type[0]
-    if w == WaveType.CHIRP:
-        return "chirp_lockin", "per-shard chirp synth + lock-in, no halo"
     L, _nb = plan_sharded_block(rx, mesh)
+    if w == WaveType.CHIRP:
+        if plan_sharded_chirp_table(tx, rx, mesh, L):
+            return "chirp_table", ("resident one-period wavetable, "
+                                   "per-shard table lock-in kernel")
+        return "chirp_lockin", "per-shard chirp synth + lock-in, no halo"
     if w == WaveType.TONES:
         if plan_sharded_channelizer_loopback(tx, rx, mesh, L):
             return "channelizer_wavetable", (

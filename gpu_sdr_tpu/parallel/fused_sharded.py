@@ -376,6 +376,39 @@ class ShardedFusedLoopback:
                            to_np=_to_np_global)
 
 
+def plan_sharded_chirp_table(tx, rx, mesh, block_len: int) -> bool:
+    """Pure shape-math gate of ShardedFusedVNA._build_table (round 5):
+    the single-chip table-oscillator lock-in (engine/fused.
+    _ChirpWavetableChain — the config-2 chain) sharded over time.  The
+    integer-phase chirp repeats exactly every period, so ONE resident
+    period serves every shard; shard t's lock-in segments are a
+    contiguous slice of the block's, reached by invoking the unchanged
+    single-fetch kernel at tile index i*T + t with the per-shard
+    segment count — zero collectives, no per-sample sincos.  Shared
+    with engine/dispatch so the plan cannot drift from the builder."""
+    from ..config import use_pallas_pfb
+    from ..engine.replay import DEVICE_REPLAY_MAX_BYTES
+    from ..ops import chirp as chirp_ops
+    from ..params import chirp_steps_and_length
+    if not use_pallas_pfb():
+        return False
+    if tx is None or tx.burst_on > 0 or int(rx.decim) < 1:
+        return False
+    for attr in ("freq", "chirp_f", "chirp_t", "swipe_s"):
+        a, b = getattr(tx, attr), getattr(rx, attr)
+        if not a or not b or a[0] != b[0]:
+            return False
+    steps, length = chirp_steps_and_length(rx)
+    cfg = chirp_ops.ChirpConfig.from_params(
+        rx.freq[0], rx.chirp_f[0], int(rx.rate), steps, rx.chirp_t[0])
+    ppt = length * int(rx.decim)
+    T = mesh.shape.get("time", 1)
+    return bool(block_len % (T * ppt) == 0 and
+                (block_len // (T * ppt)) % 8 == 0 and
+                cfg.period % block_len == 0 and
+                cfg.period * 8 <= DEVICE_REPLAY_MAX_BYTES)
+
+
 @dataclasses.dataclass
 class ShardedFusedVNA:
     """Compiled sharded K-block CHIRP->CHIRP (VNA) loopback chain.
@@ -393,8 +426,6 @@ class ShardedFusedVNA:
     mesh: Mesh
     blocks_per_exec: int = 8
     block_len: int = 1_000_000
-
-    path = "chirp_lockin"     # dispatch sub-path (plan==actual battery)
 
     def __post_init__(self):
         from ..params import chirp_steps_and_length
@@ -421,7 +452,15 @@ class ShardedFusedVNA:
             ((t * np.uint64(self.Lt)) % np.uint64(period)).astype(np.uint32))
         self.profile = jnp.asarray(lockin_profile(self.ppt))
         self.n_tones = 1
-        self._build()
+        # the table-oscillator lock-in (the single-chip config-2 chain)
+        # sharded over time when the period is resident-sized — else the
+        # per-shard sincos synth chain
+        if plan_sharded_chirp_table(tx, rx, mesh, L):
+            self.path = "chirp_table"
+            self._build_table()
+        else:
+            self.path = "chirp_lockin"
+            self._build()
 
     def _build(self):
         from ..ops.chirp import chirp_phase_index
@@ -460,12 +499,95 @@ class ShardedFusedVNA:
             out_specs=(P(None), _cpair(None, time_ax)),
             check_vma=False))
 
+    def _build_table(self):
+        """Per-shard table-oscillator lock-in (round 5): one resident
+        chirp period (generated once at build, exact uint32 phase
+        accumulator) replicated over the mesh; each shard invokes the
+        UNCHANGED single-fetch kernel
+        (ops/pallas_lockin.pallas_chirp_lockin_table_self) at tile
+        index i*T + t for its nseg_t contiguous segments — the kernel's
+        row map (blk*nr + s) lands exactly on the shard's rows.  Zero
+        collectives; the per-sample sincos the chirp_lockin path pays
+        is replaced by an HBM read (measured 18.6 vs 40.6 Gsps
+        single-chip, tools/perf_chirp_table.py)."""
+        from jax.sharding import NamedSharding
+        from ..ops import chirp as chirp_ops
+        from ..ops.lockin import lockin_profile
+        from ..ops.pallas_lockin import pallas_chirp_lockin_table_self
+        cfg, mesh = self.cfg, self.mesh
+        L, ppt, nseg_t, K, T = (self.block_len, self.ppt, self.nseg_t,
+                                self.blocks_per_exec, self.T)
+        period = cfg.period
+        nblk = period // L
+        scale = self.scale
+        time_ax = "time" if "time" in mesh.axis_names else None
+        has_time = time_ax is not None and T > 1
+        # demod contract: conj(unit c) * x with x = scale*c; the
+        # wavetable holds scale*c, so one scale divides back out
+        # through the profile (same fold as the single-chip chain)
+        prof = jnp.asarray(lockin_profile(ppt) /
+                           (scale if scale else 1.0))
+
+        @jax.jit
+        def gen_period():
+            def body(last, _):
+                last, x = chirp_ops.chirp_block(cfg, last, L, scale=scale)
+                return last, x
+            _, xs = jax.lax.scan(body, jnp.uint32(0), None, length=nblk)
+            return xs
+
+        xs = gen_period()
+        total_nseg = period // ppt
+        rep = NamedSharding(mesh, P(None, None))
+        self._Xf = C(
+            jax.device_put(xs.re.reshape(total_nseg, ppt), rep),
+            jax.device_put(xs.im.reshape(total_nseg, ppt), rep))
+
+        def spmd(last, idx, profile, Xre, Xim):
+            Xl = C(Xre, Xim)
+            tidx = (jax.lax.axis_index("time") if has_time
+                    else jnp.int32(0))
+
+            def body(carry, _):
+                l, i = carry
+                y = pallas_chirp_lockin_table_self(
+                    profile, Xl, i * T + tidx, nseg_t)
+                nxt = i + 1
+                nxt = jnp.where(nxt >= nblk, nxt - nblk, nxt)
+                l2 = (l + jnp.uint32(L % period)) % jnp.uint32(period)
+                return (l2, nxt), y
+
+            (last, idx), ys = jax.lax.scan(
+                body, (last, idx), None, length=K)
+            return last, idx, ys
+
+        smapped = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(P(None), P(), P(None),
+                      P(None, None), P(None, None)),
+            out_specs=(P(None), P(), _cpair(None, time_ax)),
+            check_vma=False)
+
+        @jax.jit
+        def exec_fn(last, idx, Xre, Xim):
+            return smapped(last, idx, prof, Xre, Xim)
+
+        self._exec_table = exec_fn
+
     # ------------------------------------------------------------------
     def init_state(self):
+        if self.path == "chirp_table":
+            return (jnp.zeros(1, dtype=jnp.uint32), jnp.int32(0))
         return (jnp.zeros(1, dtype=jnp.uint32),)
 
     def run_exec(self, state):
         """One execution: K blocks -> ys global (K, L//ppt, 1)."""
+        if self.path == "chirp_table":
+            last, idx = state
+            last, idx, ys = self._exec_table(last, idx, self._Xf.re,
+                                             self._Xf.im)
+            ys = C(ys.re[..., None], ys.im[..., None])
+            return (last, idx), ys
         (last,) = state
         last, ys = self._exec(last, self._off, self.profile)
         ys = C(ys.re[..., None], ys.im[..., None])

@@ -338,3 +338,23 @@ def test_replay_chirp_at_when_period_incommensurate(monkeypatch):
                            chirp_t=[0.03], swipe_s=[300])
     _assert_plan_matches(
         cmd, source=src, expect=[("A_RX2", "device_replay", "chirp_at")])
+
+
+def test_sharded_fused_chirp_table(monkeypatch):
+    """A resident-period chirp loopback under a mesh rides the round-5
+    sharded table-oscillator lock-in — plan and actual must agree."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.parallel import make_mesh
+    mesh = make_mesh((4, 2), ("time", "channels"))
+    rate = 1_000_000
+    kw = dict(rate=rate, buffer_len=64_000, samples=256_000,
+              freq=[-300_000], chirp_f=[300_000], chirp_t=[0.128],
+              swipe_s=[128], delay=1.0)
+    cmd = UsrpParams()
+    cmd.A_TXRX = AntennaParams(mode=AntMode.TX, ampl=[0.7],
+                               wave_type=[WaveType.CHIRP], **kw)
+    cmd.A_RX2 = AntennaParams(mode=AntMode.RX, decim=1,
+                              wave_type=[WaveType.CHIRP], **kw)
+    _assert_plan_matches(
+        cmd, mesh=mesh,
+        expect=[("A_RX2", "sharded_fused", "chirp_table")])

@@ -427,3 +427,53 @@ def test_sharded_channelizer_wavetable_matches_golden(monkeypatch):
     out2 = np.concatenate(outs2, axis=0)
     snr2 = golden.snr_db(out2, out)
     assert snr2 > 100.0, f"kernel vs pfb_scan path: {snr2:.1f} dB"
+
+
+def test_sharded_vna_table_matches_sincos_and_golden(monkeypatch):
+    """The round-5 sharded table-oscillator VNA (one resident chirp
+    period, per-shard single-fetch lock-in kernel at tile i*T + t,
+    zero collectives) must match the per-shard sincos chain and the
+    float64 oracle."""
+    from gpu_sdr_tpu.parallel.fused_sharded import ShardedFusedVNA
+    rate = 1_000_000
+    kw = dict(rate=rate, freq=[-300_000], chirp_f=[300_000],
+              chirp_t=[0.128], swipe_s=[128])
+    L = 64_000
+    tx = AntennaParams(mode=AntMode.TX, buffer_len=L, samples=4 * L,
+                       ampl=[0.7], wave_type=[WaveType.CHIRP], **kw)
+    rx = AntennaParams(mode=AntMode.RX, buffer_len=L, samples=4 * L,
+                       decim=1, wave_type=[WaveType.CHIRP], **kw)
+    mesh = _mesh(4, 2)
+
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "0")
+    v0 = ShardedFusedVNA(tx, rx, mesh, blocks_per_exec=2, block_len=L)
+    assert v0.path == "chirp_lockin", v0.path
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    v1 = ShardedFusedVNA(tx, rx, mesh, blocks_per_exec=2, block_len=L)
+    assert v1.path == "chirp_table", v1.path
+
+    outs = []
+    for v in (v0, v1):
+        st = v.init_state()
+        o = []
+        for _ in range(2):
+            st, ys = v.run_exec(st)
+            o.append(cplx.to_np(ys).reshape(-1, 1))
+        outs.append(np.concatenate(o))
+    o0, o1 = outs
+    assert o0.shape == o1.shape
+    assert golden.snr_db(o0, o1) > 110
+
+    # and the single-device production chain (the config-2
+    # chirp_wavetable path, itself golden-proven) must agree
+    from gpu_sdr_tpu.engine.fused import FusedLoopback
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    ref_sink = MemorySink()
+    fl = FusedLoopback(tx, rx, blocks_per_exec=2)
+    assert fl.path == "chirp_wavetable", fl.path
+    fl.run([ref_sink])
+    ref = ref_sink.data
+    n = min(len(ref), len(o1))
+    assert n > 0
+    snr = golden.snr_db(ref[:n], o1[:n])
+    assert snr > 100, f"sharded chirp table vs single-chip: {snr:.1f} dB"
