@@ -54,6 +54,14 @@ BANDS = {
     # recorded from tools/perf_replay_pad.py (12,935 Msps padded) against
     # the same-day 444 GB/s anchor; confirmed by the next all-green run
     "replay_rowmajor_c100": 29.1,
+    # sharded chains on a 1-device mesh (round 5: the mesh path rides
+    # the single-chip kernels — tools/perf_sharded_replay_at.py /
+    # perf_sharded_loopback_at.py / perf_sharded_vna_table.py); initial
+    # ratios from the 2026-08-21 probes against that day's 431 GB/s
+    # anchor, confirmed by the first gated run
+    "sharded_replay_channelizer_at": 31.1,
+    "sharded_loopback_channelizer": 45.7,
+    "sharded_vna_chirp_table": 125.0,
 }
 # dual/single split ratio (dimensionless, gated directly)
 SPLIT_BAND = 0.438
@@ -290,6 +298,62 @@ def main():
     dr100 = DeviceReplay(rxr100, recc, blocks_per_exec=16, loop=True)
     assert dr100.path == "replay_kernel", dr100.path
     gate("replay_rowmajor_c100", time_replay(dr100))
+
+    # ---- sharded chains at T=1 (round 5: the mesh dispatch must keep
+    # riding the single-chip kernels; probes under tools/perf_sharded_*)
+    import jax.numpy as jnp
+    from gpu_sdr_tpu.parallel import make_mesh
+    from gpu_sdr_tpu.parallel.fused_sharded import (ShardedFusedLoopback,
+                                                    ShardedFusedVNA)
+    from gpu_sdr_tpu.parallel.sharded_replay import ShardedDeviceReplay
+    mesh1 = make_mesh((1, 1), ("time", "channels"))
+
+    def time_exec(step, state, L, K, target=8_192_000_000):
+        state, ys = step(state)
+        hard_sync(ys)
+        n_exec = max(1, int(target // (K * L)) // 4)
+        best = 0.0
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(n_exec):
+                state, ys = step(state)
+            hard_sync(ys)
+            dt = time.perf_counter() - t0
+            best = max(best, n_exec * K * L / dt / 1e6)
+        return best
+
+    srs = ShardedDeviceReplay(rxrp, recc, mesh1, blocks_per_exec=16,
+                              loop=True)
+    assert srs.path == "channelizer_at", srs.path
+
+    def step_sr(carry):
+        st, idx = carry
+        st, idx, ys = srs._multi(st, idx, srs._X)
+        return (st, idx), ys
+
+    gate("sharded_replay_channelizer_at",
+         time_exec(step_sr, (srs._kernel_state_init(), jnp.int32(0)),
+                   4_000_000, 16))
+
+    Llb = 8_000_000
+    txlb = AntennaParams(mode=AntMode.TX, rate=rate, buffer_len=Llb,
+                         freq=bins1000, ampl=[0.001] * 1000,
+                         wave_type=[WaveType.TONES] * 1000)
+    rxlb = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=Llb,
+                         fft_tones=1000, pf_average=4, freq=bins1000,
+                         wave_type=[WaveType.TONES] * 1000)
+    sflb = ShardedFusedLoopback(txlb, rxlb, mesh1, blocks_per_exec=8,
+                                block_len=Llb)
+    assert sflb.path == "channelizer_wavetable", sflb.path
+    gate("sharded_loopback_channelizer",
+         time_exec(sflb.run_exec, sflb.init_state(), Llb, 8))
+
+    sfv = ShardedFusedVNA(tx2, rx2, mesh1, blocks_per_exec=32,
+                          block_len=4_000_000)
+    assert sfv.path == "chirp_table", sfv.path
+    gate("sharded_vna_chirp_table",
+         time_exec(sfv.run_exec, sfv.init_state(), 4_000_000, 32,
+                   target=16_384_000_000))
 
     if record:
         print(json.dumps({"record_ratios":
