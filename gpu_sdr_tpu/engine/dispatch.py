@@ -308,9 +308,16 @@ def plan_dispatch(params: UsrpParams, source=None, channel=None,
                 loop = bool(getattr(source, "loop", False))
                 blk = _mk(rx, mesh=mesh).plan.block_len
                 if not (loop and len(source.data) % blk != 0):
-                    from ..parallel.sharded_replay import \
-                        plan_sharded_channelizer_replay
-                    if plan_sharded_channelizer_replay(
+                    from ..parallel.sharded_replay import (
+                        plan_sharded_channelizer_replay,
+                        plan_sharded_replay_kernel)
+                    if plan_sharded_replay_kernel(
+                            rx, len(source.data), blk, loop, mesh):
+                        sub, why = "replay_kernel", \
+                            ("row-major replay kernel per time shard, "
+                             "staged cross-shard FIR history (zero "
+                             "collectives)")
+                    elif plan_sharded_channelizer_replay(
                             rx, len(source.data), blk, loop, mesh):
                         sub, why = "channelizer_at", \
                             ("fused channelizer per time shard, "

@@ -89,6 +89,197 @@ def pl_program_id_0():
     return pl.program_id(0)
 
 
+def _kernel_h(f: int, M: int, R: int, lead: int, nr: int,
+              idx_ref, val_ref,
+              xr_ref, xi_ref, lr_ref, li_ref, slr_ref, sli_ref,
+              hr_ref, hi_ref, hs_ref,
+              rr_ref, ri_ref, qdr_ref, qdi_ref, yr_ref, yi_ref):
+    """_kernel with a SECOND, staged halo source for each block's first
+    tile: under a time-sharded mesh a shard's stream-preceding recording
+    rows live on the neighbouring shard (or, for shard 0, in the
+    previous block), so they cannot be read from the shard-local
+    recording layout.  Tiles r > 0 keep the in-recording halo unit
+    (stream-contiguous within the shard); tile r == 0 reads the
+    per-block staged halo (precomputed host-side at upload, loop wrap
+    included), zeroed by val only on the shard owning the stream's
+    first row."""
+    pid = pl_program_id_0()
+    r0 = pid % nr
+    k = pid // nr
+    first = r0 == 0
+    v = jnp.where(first, val_ref[k].astype(jnp.float32), jnp.float32(1.0))
+    hl_r = jnp.where(first, slr_ref[_HUNIT - lead:],
+                     lr_ref[_HUNIT - lead:]) * v
+    hl_i = jnp.where(first, sli_ref[_HUNIT - lead:],
+                     li_ref[_HUNIT - lead:]) * v
+    ext_r = jnp.concatenate([hl_r, xr_ref[:]], axis=0)
+    ext_i = jnp.concatenate([hl_i, xi_ref[:]], axis=0)
+    ext_s = ext_r + ext_i
+
+    xr_hi, xr_lo = hilo_split(ext_r)
+    xi_hi, xi_lo = hilo_split(ext_i)
+    xs_hi, xs_lo = hilo_split(ext_s)
+    acc_r = acc_i = None
+    for j in range(f):
+        rr = split_dot(xr_hi[j:j + R], xr_lo[j:j + R],
+                       hr_ref[j * M:(j + 1) * M, :])
+        ii = split_dot(xi_hi[j:j + R], xi_lo[j:j + R],
+                       hi_ref[j * M:(j + 1) * M, :])
+        ri = split_dot(xs_hi[j:j + R], xs_lo[j:j + R],
+                       hs_ref[j * M:(j + 1) * M, :])
+        t_r, t_i = rr - ii, ri - rr - ii
+        acc_r = t_r if acc_r is None else acc_r + t_r
+        acc_i = t_i if acc_i is None else acc_i + t_i
+
+    ramp_r, ramp_i = rr_ref[:], ri_ref[:]
+    t_r = acc_r * ramp_r - acc_i * ramp_i
+    t_i = acc_r * ramp_i + acc_i * ramp_r
+    rot_r, rot_i = qdr_ref[0:1], qdi_ref[0:1]
+    yr_ref[:] = t_r * rot_r - t_i * rot_i
+    yi_ref[:] = t_r * rot_i + t_i * rot_r
+
+
+class ShardedReplayDDC:
+    """The row-major replay kernel's time-sharded form (round 5): the
+    recording is laid out shard-major (shard t's span of every block
+    contiguous), each block's first-tile FIR history comes from a
+    staged per-(shard, block) halo array (the recording is static, so
+    the cross-shard rows are precomputed at upload — zero collectives),
+    and every other tile reads its history from the shard-local
+    recording exactly as the single-chip kernel does.  Host-side
+    staging lives here; parallel/sharded_replay.py wraps invoke_local
+    in a shard_map.  Reference analog: process_direct fed from a
+    recorded stream, cpp/USRP_demodulator.cpp:400-464 (single-GPU)."""
+
+    @classmethod
+    def plan_tiles(cls, cfg: DirectDDCConfig, n: int, L: int, T: int):
+        """(nbr, nbr_t, nblk, R) when the PER-SHARD geometry tiles."""
+        M, f = cfg.M, cfg.f
+        if not (f >= 2 and f - 1 <= _HUNIT and L % M == 0 and
+                n % L == 0 and n > 0):
+            return None
+        nbr, nblk = L // M, n // L
+        if nbr % T != 0:
+            return None
+        nbr_t = nbr // T
+        R = _pick_rows(nbr_t, M, cfg.n_channels)
+        if not (R and nbr_t % R == 0 and R % _HUNIT == 0 and f - 1 <= R):
+            return None
+        return nbr, nbr_t, nblk, R
+
+    def __init__(self, cfg: DirectDDCConfig, data: np.ndarray,
+                 block_len: int, T: int, blocks_per_exec: int = 8,
+                 interpret: bool | None = None):
+        self.cfg = cfg
+        self.L = int(block_len)
+        self.T = int(T)
+        self.K = int(blocks_per_exec)
+        n = len(data)
+        plan = self.plan_tiles(cfg, n, self.L, self.T)
+        self.ok = plan is not None
+        if not self.ok:
+            return
+        self.nbr, self.nbr_t, self.nblk, self.R = plan
+        M = cfg.M
+        rows = np.asarray(data, dtype=np.complex64).reshape(
+            self.nblk * self.nbr, M)
+        # shard-major recording: shard t's blocks contiguous at
+        # [t*nblk*nbr_t, (t+1)*nblk*nbr_t), block b at [b*nbr_t, ...)
+        g = rows.reshape(self.nblk, T, self.nbr_t, M)
+        self.X_np = np.ascontiguousarray(
+            g.transpose(1, 0, 2, 3).reshape(T * self.nblk * self.nbr_t,
+                                            M))
+        # staged per-(shard, block) halo units: the _HUNIT recording
+        # rows preceding the shard's span in stream order, wrap mod the
+        # recording (real history rows LAST, like the in-recording unit)
+        tot = self.nblk * self.nbr
+        h = np.empty((T, self.nblk, _HUNIT, M), np.complex64)
+        for t in range(T):
+            for b in range(self.nblk):
+                p = b * self.nbr + t * self.nbr_t
+                h[t, b] = rows[np.arange(p - _HUNIT, p) % tot]
+        self.H_np = np.ascontiguousarray(
+            h.reshape(T * self.nblk * _HUNIT, M))
+        self._hmod = cfg.modulated_taps()
+        self._hsum = self._hmod.re + self._hmod.im
+        self._ramp = cfg.carrier_ramp(self.nbr)   # (nbr, Cp): time-shards
+        from .ddc import ddc_carrier_step
+        self._dstep = ddc_carrier_step(cfg, self.L)
+        self.interpret = interpret
+
+    # replicated stream state + per-execution rotations: identical to
+    # the single-chip kernel (phase advance is per GLOBAL block);
+    # delegated at call time because ReplayDDC is defined below
+    def init_state(self):
+        return ReplayDDC.init_state(self)
+
+    def _offsets(self, K, Cn):
+        return ReplayDDC._offsets(self, K, Cn)
+
+    def _block_rots_and_advance(self, state, K):
+        return ReplayDDC._block_rots_and_advance(self, state, K)
+
+    def invoke_local(self, idxs, val, drots8, Xl: C, Hl: C,
+                     rampl: C) -> C:
+        """One execution's kernel on ONE shard's local arrays: Xl
+        (nblk*nbr_t, M) recording span, Hl (nblk*_HUNIT, M) staged
+        halos, rampl (nbr_t, Cp) ramp rows; idxs (K,) block indices,
+        val (K,) per-shard history-valid flags, drots8 (8K, Cp)
+        rotation rows.  Returns y (K*nbr_t, Cp)."""
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        cfg, K, R = self.cfg, self.K, self.R
+        M, f, Cp = cfg.M, cfg.f, cfg.n_channels
+        nr = self.nbr_t // R
+        interpret = self.interpret
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        nunit_loc = (self.nblk * self.nbr_t) // _HUNIT
+        runit = R // _HUNIT
+
+        x_map = lambda r, i, v: (i[r // nr] * nr + r % nr, 0)
+        halo_map = lambda r, i, v: \
+            (((i[r // nr] * nr + r % nr) * runit - 1) % nunit_loc, 0)
+        staged_map = lambda r, i, v: (i[r // nr], 0)
+        per_blk = lambda r, i, v: (r // nr, 0)
+        in_blk = lambda r, i, v: (r % nr, 0)
+        const2 = lambda r, i, v: (0, 0)
+
+        kernel = functools.partial(_kernel_h, f, M, R, f - 1, nr)
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(K * nr,),
+            in_specs=[
+                pl.BlockSpec((R, M), x_map),             # x re
+                pl.BlockSpec((R, M), x_map),             # x im
+                pl.BlockSpec((_HUNIT, M), halo_map),     # in-rec halo re
+                pl.BlockSpec((_HUNIT, M), halo_map),     # in-rec halo im
+                pl.BlockSpec((_HUNIT, M), staged_map),   # staged halo re
+                pl.BlockSpec((_HUNIT, M), staged_map),   # staged halo im
+                pl.BlockSpec((f * M, Cp), const2),       # taps re
+                pl.BlockSpec((f * M, Cp), const2),       # taps im
+                pl.BlockSpec((f * M, Cp), const2),       # taps sum
+                pl.BlockSpec((R, Cp), in_blk),           # ramp re
+                pl.BlockSpec((R, Cp), in_blk),           # ramp im
+                pl.BlockSpec((8, Cp), per_blk),          # drot re
+                pl.BlockSpec((8, Cp), per_blk),          # drot im
+            ],
+            out_specs=(pl.BlockSpec((R, Cp), lambda r, i, v: (r, 0)),
+                       pl.BlockSpec((R, Cp), lambda r, i, v: (r, 0))),
+        )
+        y_re, y_im = pl.pallas_call(
+            kernel, grid_spec=gs,
+            out_shape=(
+                jax.ShapeDtypeStruct((K * self.nbr_t, Cp), jnp.float32),
+                jax.ShapeDtypeStruct((K * self.nbr_t, Cp), jnp.float32),
+            ),
+            interpret=interpret,
+        )(idxs, val, Xl.re, Xl.im, Xl.re, Xl.im, Hl.re, Hl.im,
+          self._hmod.re, self._hmod.im, self._hsum,
+          rampl.re, rampl.im, drots8.re, drots8.im)
+        return C(y_re, y_im)
+
+
 class ReplayDDC:
     """Compiled K-blocks-per-execution DDC over an HBM recording.
 

@@ -32,6 +32,34 @@ from ..engine.pipeline import PipelineResult
 from .fused_sharded import _to_np_global
 
 
+def plan_sharded_replay_kernel(rx, n: int, L: int, loop: bool,
+                               mesh: Mesh) -> bool:
+    """Pure shape-math gate of ShardedDeviceReplay._try_replay_kernel
+    (round 5): looped DIRECT replay through the row-major replay kernel
+    per time shard, with the cross-shard FIR-history rows STAGED at
+    upload (zero collectives — the sharded form of
+    ops/pallas_replay.ReplayDDC).  Shared with engine/dispatch."""
+    from ..config import kernel_dot_precision, use_pallas_pfb
+    from ..engine.replay import pad_rx_freqs
+    from ..ops.ddc import DirectDDCConfig
+    from ..ops.pallas_replay import ShardedReplayDDC
+    from ..params import WaveType
+    w = rx.wave_type[0] if rx.wave_type else None
+    if not (loop and n % L == 0 and w == WaveType.DIRECT and
+            int(rx.decim) > 0 and int(rx.pf_average) >= 2 and
+            use_pallas_pfb() and kernel_dot_precision() == "tf32"):
+        return False
+    if mesh.shape.get("channels", 1) != 1:
+        return False                 # channel axis stays device-local
+    T = mesh.shape.get("time", 1)
+    freqs = pad_rx_freqs(rx.freq, int(rx.rate))
+    cfg = DirectDDCConfig(
+        rate=int(rx.rate), decim=int(rx.decim),
+        pf_average=int(rx.pf_average), freqs=freqs,
+        phases=(0,) * len(freqs))
+    return ShardedReplayDDC.plan_tiles(cfg, n, L, T) is not None
+
+
 def plan_sharded_channelizer_replay(rx, n: int, L: int, loop: bool,
                                     mesh: Mesh) -> bool:
     """Pure shape-math gate of
@@ -93,9 +121,13 @@ class ShardedDeviceReplay:
         self.demod = make_demodulator(self.rx, mesh=mesh)
         L = self.demod.plan.block_len
         n = len(self.data)
-        self._kernel_path = self._try_channelizer_replay(L, n)
-        self.path = ("channelizer_at" if self._kernel_path is not None
-                     else "scan")
+        self._kernel_path = self._try_replay_kernel(L, n)
+        if self._kernel_path is not None:
+            self.path = "replay_kernel"
+        else:
+            self._kernel_path = self._try_channelizer_replay(L, n)
+            self.path = ("channelizer_at"
+                         if self._kernel_path is not None else "scan")
         if self._kernel_path is not None:
             return
         nblk = max(1, -(-n // L))
@@ -138,6 +170,88 @@ class ShardedDeviceReplay:
             return state, idx, ys
 
         self._multi = multi
+
+    def _try_replay_kernel(self, L, n):
+        """Looped DIRECT replay through the row-major replay kernel on
+        each time shard's local span of the resident recording (round
+        5: the sharded form of DeviceReplay._try_replay_kernel).  The
+        recording is re-laid shard-major at upload; each block's
+        first-tile FIR history comes from a staged per-(shard, block)
+        halo array (ops/pallas_replay.ShardedReplayDDC — the recording
+        is static, so the cross-shard rows are precomputed host-side;
+        zero collectives); the replicated carrier state advances per
+        GLOBAL block exactly as on a single chip."""
+        try:  # jax >= 0.6 moved shard_map to the top level
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from ..engine.replay import pad_rx_freqs
+        from ..ops.ddc import DirectDDCConfig
+        from ..ops.pallas_replay import ShardedReplayDDC
+        from .fused_sharded import _cpair
+        rx, mesh = self.rx, self.mesh
+        if not plan_sharded_replay_kernel(rx, n, L, self.loop, mesh):
+            return None
+        T = mesh.shape.get("time", 1)
+        freqs = pad_rx_freqs(rx.freq, int(rx.rate))
+        cfg = DirectDDCConfig(
+            rate=int(rx.rate), decim=int(rx.decim),
+            pf_average=int(rx.pf_average), freqs=freqs,
+            phases=(0,) * len(freqs))
+        rk = ShardedReplayDDC(cfg, np.asarray(self.data, np.complex64),
+                              L, T, blocks_per_exec=self.blocks_per_exec)
+        assert rk.ok
+        self.n_rec_blocks = rk.nblk
+        K = self.blocks_per_exec
+        Cp = cfg.n_channels
+        nbr_t = rk.nbr_t
+        time_ax = "time" if "time" in mesh.axis_names else None
+        has_time = time_ax is not None and T > 1
+        shr = NamedSharding(mesh, P(time_ax, None))
+
+        def putc(a):
+            ac = cplx.from_np(a)
+            return C(jax.device_put(ac.re, shr),
+                     jax.device_put(ac.im, shr))
+
+        Xg = putc(rk.X_np)
+        Hg = putc(rk.H_np)
+        Rg = C(jax.device_put(rk._ramp.re, shr),
+               jax.device_put(rk._ramp.im, shr))
+        self._X = (Xg, Hg, Rg)
+
+        def spmd(idxs, val, drots8, Xl, Hl, rampl):
+            tidx = (jax.lax.axis_index("time") if has_time
+                    else jnp.int32(0))
+            # stream-start zero history applies only to the shard
+            # owning the stream's first row
+            val_l = jnp.where(tidx == 0, val, jnp.int32(1))
+            y = rk.invoke_local(idxs, val_l, drots8, Xl, Hl, rampl)
+            return C(y.re.reshape(K, nbr_t, Cp),
+                     y.im.reshape(K, nbr_t, Cp))
+
+        smapped = shard_map(
+            spmd, mesh=mesh,
+            in_specs=(P(), P(), _cpair(None, None),
+                      _cpair(time_ax, None),
+                      _cpair(time_ax, None),
+                      _cpair(time_ax, None)),
+            out_specs=_cpair(None, time_ax, None),
+            check_vma=False)
+
+        @jax.jit
+        def multi(state, idx, X):
+            Xg_, Hg_, Rg_ = X
+            idxs, val, drots, new_state = \
+                rk._block_rots_and_advance(state, K)
+            rep8 = lambda a: jnp.repeat(a, 8, axis=0)
+            drots8 = C(rep8(drots.re), rep8(drots.im))
+            ys = smapped(idxs, val, drots8, Xg_, Hg_, Rg_)
+            return new_state, idx, ys
+
+        self._multi = multi
+        self._kernel_state_init = rk.init_state
+        return ("replay_kernel", cfg)
 
     def _try_channelizer_replay(self, L, n):
         """TONES/NOISE replay through the fused channelizer kernel on

@@ -358,3 +358,22 @@ def test_sharded_fused_chirp_table(monkeypatch):
     _assert_plan_matches(
         cmd, mesh=mesh,
         expect=[("A_RX2", "sharded_fused", "chirp_table")])
+
+
+def test_sharded_replay_kernel_dispatch(monkeypatch):
+    """A looped DIRECT recording on a time-only mesh rides the round-5
+    sharded replay kernel — plan and actual must agree."""
+    monkeypatch.setenv("GPU_SDR_TPU_PALLAS", "1")
+    from gpu_sdr_tpu.parallel import make_mesh
+    mesh = make_mesh((8, 1), ("time", "channels"))
+    rec = (RNG.standard_normal(256_000) +
+           1j * RNG.standard_normal(256_000)).astype(np.complex64)
+    src = ArraySource(rec)
+    src.loop = True
+    cmd = UsrpParams()
+    cmd.A_RX2 = _replay_rx(WaveType.DIRECT, decim=100, pf_average=4,
+                           samples=512_000, buffer_len=128_000,
+                           freq=[100_000, -250_000])
+    _assert_plan_matches(
+        cmd, source=src, mesh=mesh,
+        expect=[("A_RX2", "sharded_replay", "replay_kernel")])

@@ -482,3 +482,38 @@ def test_sharded_channelizer_at_replay_matches_golden_onchip():
     snr = golden.snr_db(ref[:n], out[skip:skip + n])
     assert snr > 85, \
         f"sharded channelizer_at vs oracle on chip: {snr:.1f} dB"
+
+
+def test_sharded_replay_kernel_matches_golden_onchip():
+    """ops/pallas_replay.ShardedReplayDDC (round-5 sharded row-major
+    replay: per-shard in-place DDC+FIR with staged cross-shard FIR
+    history) vs the float64 oracle, compiled by Mosaic through the
+    ShardedDeviceReplay dispatch on a 1-device mesh — the kernel's
+    staged-halo select (_kernel_h) is distinct from _kernel and needs
+    its own on-chip lowering proof."""
+    from gpu_sdr_tpu.engine.sinks import MemorySink
+    from gpu_sdr_tpu.parallel import make_mesh
+    from gpu_sdr_tpu.parallel.sharded_replay import ShardedDeviceReplay
+    from gpu_sdr_tpu.params import AntennaParams, AntMode, WaveType
+
+    rng = np.random.default_rng(17)
+    rate, decim, pfa = 1_024_000, 16, 4
+    L = 128_000 * 4
+    freqs = [100_000, -250_000]
+    rec = (rng.standard_normal(2 * L) + 1j * rng.standard_normal(2 * L)
+           ).astype(np.complex64)
+    rx = AntennaParams(mode=AntMode.RX, rate=rate, buffer_len=L,
+                       samples=4 * L, decim=decim, pf_average=pfa,
+                       freq=freqs, wave_type=[WaveType.DIRECT] * 2)
+    mesh = make_mesh((1, 1), ("time", "channels"))
+    sr = ShardedDeviceReplay(rx, rec, mesh, blocks_per_exec=2, loop=True)
+    assert sr.path == "replay_kernel", sr.path
+    sink = MemorySink()
+    sr.run([sink])
+    gold = golden.GoldenDirectDemodulator(freqs, rate, decim, pfa)
+    full = np.concatenate([rec, rec])
+    ref = np.concatenate([gold(full[i * L:(i + 1) * L])
+                          for i in range(4)], axis=1).T
+    n = min(len(ref), len(sink.data))
+    snr = golden.snr_db(ref[:n], sink.data[:n])
+    assert snr > 85, f"sharded replay kernel vs oracle on chip: {snr:.1f} dB"

@@ -62,6 +62,10 @@ BANDS = {
     "sharded_replay_channelizer_at": 31.1,
     "sharded_loopback_channelizer": 45.7,
     "sharded_vna_chirp_table": 125.0,
+    # sharded row-major DIRECT replay (lane-padded C=100): 12,250 Msps
+    # same-day probe (tools/perf_sharded_replay_kernel.py, 6.14x the
+    # sharded scan, 0.999 of single-chip) over the 470.7 anchor
+    "sharded_replay_kernel_c100": 26.0,
 }
 # dual/single split ratio (dimensionless, gated directly)
 SPLIT_BAND = 0.438
@@ -354,6 +358,19 @@ def main():
     gate("sharded_vna_chirp_table",
          time_exec(sfv.run_exec, sfv.init_state(), 4_000_000, 32,
                    target=16_384_000_000))
+
+    srk = ShardedDeviceReplay(rxr100, recc, mesh1, blocks_per_exec=16,
+                              loop=True)
+    assert srk.path == "replay_kernel", srk.path
+
+    def step_srk(carry):
+        st, idx = carry
+        st, idx, ys = srk._multi(st, idx, srk._X)
+        return (st, idx), ys
+
+    gate("sharded_replay_kernel_c100",
+         time_exec(step_srk, (srk._kernel_state_init(), jnp.int32(0)),
+                   4_000_000, 16))
 
     if record:
         print(json.dumps({"record_ratios":
