@@ -80,15 +80,21 @@ def main():
         assert sf.path == "channelizer_wavetable", sf.path
         msps = time_exec(sf.run_exec, sf.init_state(), K)
         out(kind="sharded", K=K, msps=round(msps))
+        # single-chip cell corrected to the PLAN's block length (the
+        # planner picks 6M for this 8M buffer; the recorded
+        # logs/sharded_k_sweep.log cells are inflated 4/3 — the flat
+        # ratio conclusion is superseded by perf_sharded_smap_probe*:
+        # shard_map costs nothing at matched geometry)
         fl = FusedLoopback(tx, rx, blocks_per_exec=K)
+        B1 = fl.demod.plan.block_len
 
         def step1(state, fl=fl):
             g, d = state
             g, d, ys = fl._multi(g, d)
             return (g, d), ys
 
-        msps1 = time_exec(step1, fl._init_states(), K)
-        out(kind="single", K=K, msps=round(msps1),
+        msps1 = time_exec(step1, fl._init_states(), K) * (B1 / L)
+        out(kind="single", K=K, msps=round(msps1), plan_block_len=B1,
             ratio=round(msps / msps1, 3))
 
 

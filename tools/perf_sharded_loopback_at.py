@@ -105,9 +105,17 @@ def main():
     msps_old, _ = time_exec(sf_old.run_exec, sf_old.init_state())
     out(stage="rate", path="pfb_scan_sharded", msps=round(msps_old))
 
-    # single-chip anchor: the same chain through plain jit (no shard_map)
+    # single-chip anchor: the same chain through plain jit (no shard_map).
+    # CAUTION (fixed after logs/sharded_loopback_at.log was recorded):
+    # FusedLoopback's planner may pick a block SMALLER than buffer_len
+    # (6M for this 8M buffer), so the anchor's rate math must use the
+    # PLAN's block length — the recorded log's single-chip cell is
+    # inflated 4/3 by this (see docs/05 and
+    # tools/perf_sharded_smap_probe*.py for the corrected grid:
+    # shard_map costs nothing).
     fl = FusedLoopback(tx, rx, blocks_per_exec=K)
-    out(stage="single_chip_path", path=fl.path)
+    B1 = fl.demod.plan.block_len
+    out(stage="single_chip_path", path=fl.path, plan_block_len=B1)
 
     def step1(state):
         g, d = state
@@ -115,6 +123,7 @@ def main():
         return (g, d), ys
 
     msps_1, _ = time_exec(step1, fl._init_states())
+    msps_1 *= B1 / L                 # correct to the true block length
     out(stage="rate", path="channelizer_wavetable_single", msps=round(msps_1))
     msps_new2, _ = time_exec(sf_new.run_exec, sf_new.init_state())
     out(stage="rate", path="channelizer_wavetable_sharded_again",
